@@ -1,0 +1,82 @@
+"""Host batching + device feeding.
+
+Replaces torch DataLoader (num_workers=0, /root/reference/Experiments/
+train_model.py:309-339) with a deterministic epoch iterator that:
+  * shuffles with an explicit per-epoch seed
+  * applies joint transforms with a per-(epoch, sample) Generator — identical
+    augmentation regardless of worker topology
+  * emits NHWC numpy batches; `device_put_sharded` over a mesh's `data` axis
+    happens in `shard` (single-device put otherwise)
+  * drops the last partial batch under SPMD (static shapes for XLA) unless
+    pad=True, in which case it pads by wrapping and reports the true count
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+
+class BatchLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        transform=None,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = False,
+        pad_last: bool = False,
+        mask_dtype=np.float32,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.transform = transform
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.pad_last = pad_last
+        self.epoch = 0
+        self.mask_dtype = mask_dtype
+
+    def __len__(self):
+        n = len(self.ds)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[dict]:
+        n = len(self.ds)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng((self.seed, self.epoch)).shuffle(order)
+        bs = self.batch_size
+        stop = n - n % bs if self.drop_last else n
+        for start in range(0, stop, bs):
+            idxs = order[start : start + bs]
+            true_count = len(idxs)
+            if self.pad_last and true_count < bs:
+                idxs = np.concatenate([idxs, order[: bs - true_count]])
+            images, labels, names = [], [], []
+            for i in idxs:
+                sample, fname = self.ds[int(i)]
+                if self.transform is not None:
+                    rng = np.random.default_rng((self.seed, self.epoch, int(i)))
+                    sample = self.transform(sample, rng)
+                images.append(sample["image"])
+                labels.append(sample["label"])
+                names.append(fname)
+            mask = np.stack(labels).astype(self.mask_dtype)
+            if mask.ndim == 3:
+                mask = mask[..., None]  # NHWC channel dim for binary masks
+            yield {
+                "image": np.stack(images).astype(np.float32),
+                "mask": mask,
+                "names": names,
+                "count": true_count,
+            }
+        self.epoch += 1

@@ -1,0 +1,38 @@
+"""Model zoo registry.
+
+The reference selects models via a giant if/elif chain keyed on
+`config.model_name` (/root/reference/Experiments/train_model.py:351-640).
+Here every architecture registers a constructor under the same public name so
+configs stay compatible.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+registry: Dict[str, Callable] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        registry[name] = fn
+        return fn
+    return deco
+
+
+def build(name: str, **kwargs):
+    if name not in registry:
+        raise KeyError(
+            f"unknown model {name!r}; available: {sorted(registry)}"
+        )
+    return registry[name](**kwargs)
+
+
+from accunet_tpu.models.acc_unet import ACC_UNet, ACC_UNet_Lite, ACC_UNet_W, ACCUNet
+from accunet_tpu.models.unext import UNext, UNext_S
+
+register("ACC_UNet")(ACC_UNet)
+register("ACC_UNet_Lite")(ACC_UNet_Lite)
+register("ACC_UNet_W")(ACC_UNet_W)
+register("UNext")(UNext)
+register("UNext_S")(UNext_S)

@@ -1,0 +1,242 @@
+"""ACC-UNet building blocks (flax.linen, NHWC).
+
+Behavioral parity targets (file:line cites into /root/reference):
+  * ChannelSELayer — SE with BN+LeakyReLU applied *after* recalibration
+    (ACC_UNet/ACC_UNet.py:9-49).
+  * HANCLayer — pyramid context aggregation with per-channel interleaved
+    concat (ACC_UNet/ACC_UNet.py:53-142).
+  * Conv2dBatchnorm — conv → BN → LeakyReLU → SE (ACC_UNet/ACC_UNet.py:146-187).
+  * HANCBlock — inverted bottleneck with depthwise 3x3 + HANC + residual BN
+    (ACC_UNet/ACC_UNet.py:224-286).
+  * ResPath — n_lvl residual purifier stages + final BN/act/BN
+    (ACC_UNet/ACC_UNet.py:290-328).
+  * MLFC — multi-level feature compilation; three behavioral modes:
+      'full'  cross-level fusion (ACC_UNet/ACC_UNet.py:332-527)
+      'lite'  per-level SE only (ACC_UNet/ACC_UNet_lite.py:424-431)
+      'w'     learned convex blend fused*W + x*(1-W), W scalar init 0
+              (ACC_UNet/ACC_UNet_w.py:354-355, 492-522)
+
+Submodule field names intentionally mirror the reference attribute names so
+checkpoint porting (accunet_tpu.port) is mechanical.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from accunet_tpu.ops.pooling import (
+    avg_pool2d,
+    global_avg_pool,
+    hanc_features,
+    interleave_channels,
+    upsample_nearest,
+)
+
+Dtype = Any
+
+
+def lrelu(x):
+    return jax.nn.leaky_relu(x, 0.01)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d with torch defaults (eps 1e-5, momentum 0.1 torch == 0.9 flax).
+
+    Under pjit with a batch-sharded input the statistics are automatically
+    global (XLA inserts the cross-device reduction), which gives sync-BN for
+    free on a device mesh.
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+
+
+def batch_norm(x, train: bool, dtype=jnp.float32, name: str = "bn"):
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=0.9,
+        epsilon=1e-5,
+        dtype=dtype,
+        name=name,
+    )(x)
+
+
+class ChannelSELayer(nn.Module):
+    num_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        squeezed = global_avg_pool(x)
+        s = lrelu(nn.Dense(self.num_channels // 8, dtype=self.dtype, name="fc1")(squeezed))
+        s = jax.nn.sigmoid(nn.Dense(self.num_channels, dtype=self.dtype, name="fc2")(s))
+        out = x * s[:, None, None, :]
+        out = batch_norm(out, train, self.dtype)
+        return lrelu(out)
+
+
+class HANCLayer(nn.Module):
+    out_chnl: int
+    k: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = hanc_features(x, self.k)
+        x = nn.Conv(self.out_chnl, (1, 1), dtype=self.dtype, name="cnv")(x)
+        return lrelu(batch_norm(x, train, self.dtype))
+
+
+class Conv2dBatchnorm(nn.Module):
+    """conv → BN → LeakyReLU → SE (reference Conv2d_batchnorm / Conv2d_channel)."""
+
+    num_out_filters: int
+    kernel_size: tuple[int, int] = (1, 1)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.num_out_filters, self.kernel_size, padding="SAME",
+            dtype=self.dtype, name="conv1",
+        )(x)
+        x = batch_norm(x, train, self.dtype, name="batchnorm")
+        x = lrelu(x)
+        return ChannelSELayer(self.num_out_filters, self.dtype, name="sqe")(x, train)
+
+
+class HANCBlock(nn.Module):
+    n_filts: int
+    out_channels: int
+    k: int = 3
+    inv_fctr: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inp, train: bool = False):
+        e = self.n_filts * self.inv_fctr
+        x = nn.Conv(e, (1, 1), dtype=self.dtype, name="conv1")(inp)
+        x = batch_norm(x, train, self.dtype, name="norm1")
+        x = lrelu(x)
+
+        x = nn.Conv(
+            e, (3, 3), padding="SAME", feature_group_count=e,
+            dtype=self.dtype, name="conv2",
+        )(x)
+        x = batch_norm(x, train, self.dtype, name="norm2")
+        x = lrelu(x)
+
+        x = HANCLayer(self.n_filts, self.k, self.dtype, name="hnc")(x, train)
+
+        x = batch_norm(x + inp, train, self.dtype, name="norm")
+
+        x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv3")(x)
+        x = batch_norm(x, train, self.dtype, name="norm3")
+        x = lrelu(x)
+        return ChannelSELayer(self.out_channels, self.dtype, name="sqe")(x, train)
+
+
+class ResPath(nn.Module):
+    in_chnls: int
+    n_lvl: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.n_lvl):
+            y = nn.Conv(
+                self.in_chnls, (3, 3), padding="SAME",
+                dtype=self.dtype, name=f"convs_{i}",
+            )(x)
+            y = batch_norm(y, train, self.dtype, name=f"bns_{i}")
+            y = ChannelSELayer(self.in_chnls, self.dtype, name=f"sqes_{i}")(lrelu(y), train)
+            x = x + y
+        x = batch_norm(x, train, self.dtype, name="bn")
+        x = lrelu(x)
+        # reference's final "sqe" is actually a second BatchNorm
+        # (ACC_UNet/ACC_UNet.py:313)
+        return batch_norm(x, train, self.dtype, name="sqe")
+
+
+class MLFC(nn.Module):
+    in_filters: Sequence[int]  # (f1, f2, f3, f4)
+    lenn: int = 1
+    mode: str = "full"  # 'full' | 'lite' | 'w'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2, x3, x4, train: bool = False):
+        f1, f2, f3, f4 = self.in_filters
+
+        if self.mode == "lite":
+            # ACC_UNet_lite.py:424-431 — SE per level, no cross-level fusion.
+            x1 = ChannelSELayer(f1, self.dtype, name="sqe1")(x1, train)
+            x2 = ChannelSELayer(f2, self.dtype, name="sqe2")(x2, train)
+            x3 = ChannelSELayer(f3, self.dtype, name="sqe3")(x3, train)
+            x4 = ChannelSELayer(f4, self.dtype, name="sqe4")(x4, train)
+            return x1, x2, x3, x4
+
+        if self.mode == "w":
+            w_blend = self.param("W", nn.initializers.zeros, (1,), jnp.float32)
+        else:
+            w_blend = None
+
+        xs = (x1, x2, x3, x4)
+        filts = (f1, f2, f3, f4)
+
+        for i in range(self.lenn):
+            fused = []
+            for lvl in range(4):
+                parts = []
+                for src in range(4):
+                    t = xs[src]
+                    if src < lvl:  # downsample by 2^(lvl-src)
+                        for _ in range(lvl - src):
+                            t = avg_pool2d(t, 2)
+                    elif src > lvl:  # upsample by repeated 2x nearest
+                        for _ in range(src - lvl):
+                            t = upsample_nearest(t, 2)
+                    parts.append(t)
+                cat = jnp.concatenate(parts, axis=-1)
+                y = Conv2dBatchnorm(
+                    filts[lvl], (1, 1), self.dtype, name=f"cnv_blks{lvl + 1}_{i}"
+                )(cat, train)
+                y = batch_norm(y, train, self.dtype, name=f"bns{lvl + 1}_{i}")
+                fused.append(lrelu(y))
+
+            merged = []
+            for lvl in range(4):
+                cat = interleave_channels(fused[lvl], xs[lvl])
+                y = Conv2dBatchnorm(
+                    filts[lvl], (1, 1), self.dtype, name=f"cnv_mrg{lvl + 1}_{i}"
+                )(cat, train)
+                if self.mode == "w":
+                    wb = w_blend.astype(y.dtype)
+                    y = y * wb + xs[lvl] * (1 - wb)
+                else:
+                    y = y + xs[lvl]
+                y = batch_norm(y, train, self.dtype, name=f"bns_mrg{lvl + 1}_{i}")
+                merged.append(lrelu(y))
+            xs = tuple(merged)
+
+        out = []
+        for lvl in range(4):
+            out.append(
+                ChannelSELayer(filts[lvl], self.dtype, name=f"sqe{lvl + 1}")(
+                    xs[lvl], train
+                )
+            )
+        return tuple(out)

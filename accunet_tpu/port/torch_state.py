@@ -1,0 +1,119 @@
+"""PyTorch → accunet_tpu checkpoint porting.
+
+Lets users of the reference repo load their trained `.pth.tar` checkpoints
+(saved by /root/reference/Experiments/train_model.py:125-145 as
+{'state_dict': ...}) into the flax models here, and powers the golden-parity
+test suite.
+
+The mapping is structural: flax submodule names mirror the torch attribute
+names, with two mechanical rewrites:
+  * flax uses `foo_3` where torch ModuleList indexing gives `foo.3`
+  * tensor layout transposes (OIHW→HWIO for conv, (I,O,kh,kw)→(kh,kw,I,O) for
+    transposed conv, out-major→in-major for Linear)
+  * BatchNorm: weight/bias → scale/bias (params), running_mean/running_var →
+    mean/var (batch_stats)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _torch_key(path: tuple[str, ...]) -> str:
+    parts = []
+    for p in path:
+        # trailing _<int> means a torch ModuleList index
+        m = re.match(r"^(.*)_(\d+)$", p)
+        if m:
+            parts.append(f"{m.group(1)}.{m.group(2)}")
+        else:
+            parts.append(p)
+    return ".".join(parts)
+
+
+_BN_STAT = {"mean": "running_mean", "var": "running_var"}
+_BN_PARAM = {"scale": "weight", "bias": "bias"}
+
+
+def _convert_leaf(leaf_name: str, flax_shape, torch_val: np.ndarray) -> np.ndarray:
+    v = np.asarray(torch_val, dtype=np.float32)
+    if leaf_name == "kernel_t":
+        return v.transpose(2, 3, 0, 1)  # convT (I,O,kh,kw) -> (kh,kw,I,O)
+    if leaf_name == "kernel":
+        if v.ndim == 4:
+            return v.transpose(2, 3, 1, 0)  # conv OIHW -> HWIO
+        if v.ndim == 2:
+            return v.T  # Linear (out,in) -> (in,out)
+    if v.shape != tuple(flax_shape):
+        raise ValueError(
+            f"shape mismatch for {leaf_name}: torch {v.shape} vs flax {tuple(flax_shape)}"
+        )
+    return v
+
+
+def import_torch_state(
+    variables: Mapping[str, Any],
+    torch_state: Mapping[str, np.ndarray],
+    prefix: str = "",
+    rename: Dict[str, str] | None = None,
+    strict: bool = True,
+) -> Dict[str, Any]:
+    """Fill a flax variables template {'params', 'batch_stats', ...} from a flat
+    torch state_dict (tensor values may be torch tensors or numpy arrays).
+
+    `rename` maps computed torch keys to actual torch keys for irregular cases.
+    Unused torch entries are allowed (e.g. the Lite model's dead MLFC convs,
+    /root/reference/ACC_UNet/ACC_UNet_lite.py:389-418).
+    """
+    torch_np = {
+        k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+        for k, v in torch_state.items()
+    }
+    rename = rename or {}
+
+    def build(tree, path, collection):
+        if isinstance(tree, Mapping):
+            return {
+                k: build(v, path + (k,), collection) for k, v in tree.items()
+            }
+        leaf_name = path[-1]
+        mod_path, leaf = path[:-1], path[-1]
+        if collection == "batch_stats":
+            tname = _torch_key(mod_path) + "." + _BN_STAT[leaf]
+        elif leaf in ("scale",):
+            tname = _torch_key(mod_path) + "." + _BN_PARAM[leaf]
+        elif leaf in ("kernel", "kernel_t"):
+            tname = _torch_key(mod_path) + ".weight"
+        elif leaf == "bias":
+            # could be conv/linear bias or BN bias — same torch name either way
+            tname = _torch_key(mod_path) + ".bias"
+        else:  # scalar params like MLFC 'W'
+            tname = _torch_key(path)
+        tname = prefix + tname
+        tname = rename.get(tname, tname)
+        if tname not in torch_np:
+            if strict:
+                raise KeyError(f"torch state_dict missing {tname!r} for flax {path}")
+            return tree
+        return jnp.asarray(_convert_leaf(leaf_name, np.shape(tree), torch_np[tname]))
+
+    out = {}
+    for coll, tree in variables.items():
+        out[coll] = build(tree, (), coll)
+    return out
+
+
+def load_torch_checkpoint(path: str):
+    """Load a reference-format .pth.tar and return its flat state_dict
+    (train_model.py saves {'state_dict': model.state_dict(), ...})."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    # strip DataParallel 'module.' prefixes (test_model.py:221-224)
+    return {k.removeprefix("module."): v for k, v in state.items()}

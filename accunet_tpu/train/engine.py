@@ -1,0 +1,236 @@
+"""Training engine: jitted SPMD train/eval steps + epoch driver.
+
+TPU-native redesign of the reference's epoch loop
+(/root/reference/Experiments/Train_one_epoch.py:48-201 and
+train_model.py:782-831):
+
+  * one jitted, donated train_step — forward, loss, grad, optimizer update,
+    batch-stat update, and in-graph metrics in a single XLA program (the
+    reference does per-batch `.item()` host syncs and empty_cache() calls;
+    here the only host sync is the per-epoch metric fetch)
+  * batch is sharded over the mesh `data` axis; BatchNorm statistics are
+    computed over the *global* batch (XLA inserts the cross-device reduction
+    automatically), i.e. sync-BN by construction
+  * checkpoint/resume via orbax (replaces torch.save of
+    {epoch, state_dict, optimizer}, train_model.py:125-145, 672-689), with
+    best-val-dice retention and early stopping (train_model.py:799-831)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import os
+import time
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from accunet_tpu.train import losses as L
+from accunet_tpu.train import metrics as M
+from accunet_tpu.train.schedules import cosine_warm_restarts
+
+logger = logging.getLogger("accunet_tpu")
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass
+class TrainStepFns:
+    train_step: Callable
+    eval_step: Callable
+    state: TrainState
+    optimizer: optax.GradientTransformation
+
+
+def _main_output(preds):
+    if isinstance(preds, (tuple, list)):
+        if len(preds) == 2 and isinstance(preds[0], (tuple, list)):
+            return preds[1]
+        return preds[0]
+    return preds
+
+
+def make_train_fns(
+    model,
+    example_batch,
+    loss_fn: Callable = L.weighted_dice_bce,
+    learning_rate: float = 1e-3,
+    optimizer_name: str = "adam",
+    steps_per_epoch: int = 1,
+    rng: jax.Array | None = None,
+    dice_show: Callable = L.soft_dice_show,
+    donate: bool = True,
+) -> TrainStepFns:
+    """Build jitted train/eval steps + initial state for `model`.
+
+    loss_fn(preds, targets) where preds is whatever the model returns
+    (array or deep-supervision tuple).
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    images = example_batch["image"]
+    variables = model.init(rng, images, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+
+    schedule = cosine_warm_restarts(
+        learning_rate, t_0=10, t_mult=1, eta_min=1e-5, steps_per_epoch=steps_per_epoch
+    )
+    if optimizer_name == "adam":
+        optimizer = optax.adam(schedule)
+    elif optimizer_name == "sgd":
+        # Swin family uses SGD momentum 0.9 wd 1e-4 (train_model.py:644-646)
+        optimizer = optax.chain(
+            optax.add_decayed_weights(1e-4), optax.sgd(schedule, momentum=0.9)
+        )
+    else:
+        raise ValueError(optimizer_name)
+    opt_state = optimizer.init(params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+    )
+
+    def loss_and_metrics(params, batch_stats, batch):
+        preds, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"],
+            train=True,
+            mutable=["batch_stats"],
+        )
+        loss = loss_fn(preds, batch["mask"])
+        return loss, (updates.get("batch_stats", batch_stats), preds)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, batch):
+        (loss, (new_stats, preds)), grads = jax.value_and_grad(
+            loss_and_metrics, has_aux=True
+        )(state.params, state.batch_stats, batch)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        main = _main_output(preds)
+        stats = {
+            "loss": loss,
+            "dice": dice_show(main, batch["mask"]),
+            "iou": M.batch_iou(main, batch["mask"]),
+            "lr": schedule(state.step),
+        }
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+            ),
+            stats,
+        )
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        preds = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"],
+            train=False,
+        )
+        main = _main_output(preds)
+        return {
+            "loss": loss_fn(preds, batch["mask"]),
+            "dice": dice_show(main, batch["mask"]),
+            "iou": M.batch_iou(main, batch["mask"]),
+        }
+
+    return TrainStepFns(train_step, eval_step, state, optimizer)
+
+
+def run_epoch(step_fn, state, loader: Iterable, train: bool):
+    agg, n = None, 0
+    t0 = time.time()
+    for batch in loader:
+        if train:
+            state, stats = step_fn(state, batch)
+        else:
+            stats = step_fn(state, batch)
+        agg = stats if agg is None else jax.tree_util.tree_map(jnp.add, agg, stats)
+        n += 1
+    agg = jax.tree_util.tree_map(lambda x: float(x) / n, agg) if n else {}
+    agg["time"] = time.time() - t0
+    agg["batches"] = n
+    return state, agg
+
+
+# ------------------------------------------------------------- checkpointing
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int, best_dice: float):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    path = os.path.join(os.path.abspath(ckpt_dir), f"epoch_{epoch:04d}")
+    ckptr.save(
+        path,
+        {
+            "state": jax.tree_util.tree_map(lambda x: x, state),
+            "meta": {"epoch": epoch, "best_dice": best_dice},
+        },
+        force=True,
+    )
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(path: str, state_template: TrainState):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    target = {
+        "state": state_template,
+        "meta": {"epoch": 0, "best_dice": 0.0},
+    }
+    restored = ckptr.restore(os.path.abspath(path), target)
+    return restored["state"], restored["meta"]
+
+
+def fit(
+    fns: TrainStepFns,
+    train_loader_factory: Callable[[], Iterable],
+    val_loader_factory: Callable[[], Iterable],
+    epochs: int,
+    ckpt_dir: str | None = None,
+    early_stop_patience: int = 100,
+    log_every: bool = True,
+):
+    """Epoch driver with best-dice checkpointing and early stopping
+    (train_model.py:782-831)."""
+    state = fns.state
+    best_dice, best_epoch = -1.0, 0
+    history = []
+    for epoch in range(1, epochs + 1):
+        state, tr = run_epoch(fns.train_step, state, train_loader_factory(), True)
+        _, va = run_epoch(fns.eval_step, state, val_loader_factory(), False)
+        history.append({"epoch": epoch, "train": tr, "val": va})
+        if log_every:
+            logger.info(
+                "epoch %d train loss %.4f dice %.4f | val loss %.4f dice %.4f",
+                epoch, tr.get("loss", 0), tr.get("dice", 0),
+                va.get("loss", 0), va.get("dice", 0),
+            )
+        if va.get("dice", 0) > best_dice:
+            best_dice, best_epoch = va["dice"], epoch
+            if ckpt_dir:
+                save_checkpoint(ckpt_dir, state, epoch, best_dice)
+        elif epoch - best_epoch >= early_stop_patience:
+            logger.info("early stopping at epoch %d (best %d)", epoch, best_epoch)
+            break
+    return state, history

@@ -33,6 +33,7 @@ from accunet_tpu.ops.pooling import (
     global_avg_pool,
     hanc_features,
     interleave_channels,
+    max_pool2d,
     upsample_nearest,
 )
 
@@ -88,16 +89,66 @@ class ChannelSELayer(nn.Module):
         return lrelu(out)
 
 
+class _Conv1x1Params(nn.Module):
+    """Holds a 1x1 conv's parameters under the standard names so checkpoint
+    porting stays mechanical while the op itself is decomposed."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, self.in_features, self.out_features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_features,), jnp.float32)
+        return kernel, bias
+
+
 class HANCLayer(nn.Module):
+    """HANC aggregation + 1x1 mix, computed the TPU way.
+
+    Mathematically identical to the reference (build the (2k-1)-variant
+    per-channel-interleaved stack, then 1x1 conv — ACC_UNet/ACC_UNet.py:77-142)
+    but decomposed: the 1x1 kernel is sliced per pyramid variant and each
+    pooled branch is matmul'd at its *low* resolution before nearest
+    upsampling (matmul commutes with nearest-neighbour upsampling; equal up
+    to fp reassociation). This removes the (2k-1)*C concat materialization —
+    the OOM
+    hazard for the inv_fctr=34 decoder block — and cuts HANC matmul FLOPs
+    ~3x for k=3.
+    """
+
     out_chnl: int
     k: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = hanc_features(x, self.k)
-        x = nn.Conv(self.out_chnl, (1, 1), dtype=self.dtype, name="cnv")(x)
-        return lrelu(batch_norm(x, train, self.dtype))
+        c = x.shape[-1]
+        k = self.k
+        nv = 2 * k - 1
+        kernel, bias = _Conv1x1Params(c * nv, self.out_chnl, name="cnv")()
+        # interleaved input channel c*(2k-1)+j == (channel c, variant j)
+        w = kernel.reshape(c, nv, self.out_chnl).astype(x.dtype)
+
+        def mix(t, j):
+            out = jax.lax.dot_general(
+                t, w[:, j, :], (((t.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return out.astype(t.dtype)
+
+        y = mix(x, 0)
+        for i in range(1, k):
+            s = 2 ** i
+            y = y + upsample_nearest(mix(avg_pool2d(x, s), i), s)
+            y = y + upsample_nearest(mix(max_pool2d(x, s), k - 1 + i), s)
+        y = y + bias.astype(y.dtype)
+        return lrelu(batch_norm(y, train, self.dtype))
 
 
 class Conv2dBatchnorm(nn.Module):

@@ -1,0 +1,231 @@
+"""Large-kernel depthwise conv2d — Pallas TPU kernel with custom VJP.
+
+TPU-native counterpart of the reference CUDA kernel
+(/root/reference/kernels/dwconv2d: shared-memory tiled, register-unrolled FMA
+per filter row, pybind11-wrapped; autograd wrapper with flipped-weight dgrad
+at kernels/dwconv2d/Dwconv/dwconv_layer.py:6-31).
+
+Design here (NHWC, channels on the 128-lane axis):
+  * forward: grid (batch, channel-tiles); the spatially pre-padded input
+    block (1, H+kh-1, W+kw-1, TC) is staged in VMEM and the kh*kw taps are
+    accumulated as VPU fused multiply-adds over shifted windows — depthwise
+    conv has no channel mixing, so the MXU is useless and the kernel is
+    bandwidth-bound; keeping the whole padded tile resident makes each input
+    byte be read once instead of kh*kw times.
+  * dgrad: depthwise conv of the cotangent with the spatially flipped kernel
+    (same identity the reference uses, dwconv_layer.py:19-31).
+  * wgrad: grid (batch, channel-tiles) accumulating dw[i,j,c] += sum_hw
+    x_pad[h+i, w+j, c] * g[h, w, c] into a VMEM block that is revisited
+    across the batch grid dimension.
+  * rows are processed through a fori_loop over filter taps with dynamic
+    slices; taps stay static-shaped so Mosaic can vectorize.
+
+Falls back to XLA's grouped conv (ops.conv.depthwise_conv2d) on non-TPU
+backends or when the padded tile exceeds the VMEM budget.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from accunet_tpu.ops.conv import depthwise_conv2d as _xla_dwconv
+
+_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom of 16MB VMEM
+
+
+def _use_pallas(shape, kh, kw, tc):
+    b, h, w, c = shape
+    pad_tile = (h + kh - 1) * (w + kw - 1) * tc * 4
+    out_tile = h * w * tc * 4
+    return pad_tile + out_tile < _VMEM_BUDGET
+
+
+def dwconv2d_reference(x, kernel, bias=None):
+    """jax.lax reference (grouped conv), kernel (kh,kw,C)."""
+    k4 = kernel[:, :, None, :]
+    return _xla_dwconv(x, k4, bias)
+
+
+# ------------------------------------------------------------------ pallas
+
+
+def _pick_tc(c: int) -> int:
+    for tc in (512, 256, 128):
+        if c % tc == 0:
+            return tc
+    return c  # odd channel counts: single tile (Mosaic pads lanes)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _dwconv2d_fwd_pallas(x, kernel, bias, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = x.shape
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw), (0, 0)))
+    tc = _pick_tc(c)
+    bias2 = (bias if bias is not None else jnp.zeros((c,), x.dtype)).reshape(1, c)
+
+    def kern(xp_ref, w_ref, b_ref, out_ref):
+        acc = jnp.zeros((h, w, tc), jnp.float32)
+
+        def body(idx, acc):
+            i = idx // kw
+            j = idx % kw
+            win = xp_ref[0, pl.ds(i, h), pl.ds(j, w), :]
+            wij = w_ref[i, j, :].astype(jnp.float32)
+            return acc + win.astype(jnp.float32) * wij[None, None, :]
+
+        acc = lax.fori_loop(0, kh * kw, body, acc)
+        acc = acc + b_ref[0, :].astype(jnp.float32)[None, None, :]
+        out_ref[0] = acc.astype(out_ref.dtype)
+
+    return pl.pallas_call(
+        kern,
+        grid=(b, c // tc),
+        in_specs=[
+            pl.BlockSpec(
+                (1, h + kh - 1, w + kw - 1, tc),
+                lambda bi, ci: (bi, 0, 0, ci),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((kh, kw, tc), lambda bi, ci: (0, 0, ci), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc), lambda bi, ci: (0, ci), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, w, tc), lambda bi, ci: (bi, 0, 0, ci), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        interpret=interpret,
+    )(xp, kernel, bias2)
+
+
+@functools.partial(jax.jit, static_argnames=("kh", "kw", "interpret"))
+def _dwconv2d_wgrad_pallas(x, g, kh: int, kw: int, interpret=False):
+    """dw[i,j,c] = sum_{b,h,w} x_pad[b,h+i,w+j,c] * g[b,h,w,c]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = x.shape
+    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw), (0, 0)))
+    tc = _pick_tc(c)
+
+    def kern(xp_ref, g_ref, dw_ref):
+        bi = pl.program_id(0)
+
+        @pl.when(bi == 0)
+        def _():
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+
+        gblk = g_ref[0].astype(jnp.float32)
+
+        def body(idx, _):
+            i = idx // kw
+            j = idx % kw
+            win = xp_ref[0, pl.ds(i, h), pl.ds(j, w), :].astype(jnp.float32)
+            dw_ref[i, j, :] += jnp.sum(win * gblk, axis=(0, 1))
+            return 0
+
+        lax.fori_loop(0, kh * kw, body, 0)
+
+    return pl.pallas_call(
+        kern,
+        grid=(b, c // tc),
+        in_specs=[
+            pl.BlockSpec(
+                (1, h + kh - 1, w + kw - 1, tc),
+                lambda bi, ci: (bi, 0, 0, ci),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, h, w, tc), lambda bi, ci: (bi, 0, 0, ci), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (kh, kw, tc), lambda bi, ci: (0, 0, ci), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((kh, kw, c), jnp.float32),
+        interpret=interpret,
+    )(xp, g)
+
+
+# ------------------------------------------------------------- public op
+
+
+@jax.custom_vjp
+def _dwconv2d_vjp(x, kernel, bias):
+    return _dwconv2d_impl(x, kernel, bias)
+
+
+def dwconv2d(x, kernel, bias=None):
+    """Depthwise conv2d, 'same' padding. x (B,H,W,C), kernel (kh,kw,C),
+    bias (C,) optional. Pallas on TPU, XLA fallback elsewhere."""
+    if bias is None:
+        bias = jnp.zeros((x.shape[-1],), x.dtype)
+    return _dwconv2d_vjp(x, kernel, bias)
+
+
+import os
+
+# Measured on v5e (benchmarks/bench_dwconv2d.py, 24-layer stack, 384ch, 64²,
+# batch 64): XLA's grouped conv runs at HBM bandwidth for k=3 (1.5 ms/layer ≈
+# 670 GB/s) and uses the MXU for large k (k=13: 5.4 TF/s effective), while a
+# VPU tap-loop Pallas kernel is capped by VPU FLOPs. XLA is therefore the
+# default production path; the Pallas kernel remains available
+# (ACCUNET_DWCONV=pallas) and correctness-tested for shapes that fit VMEM.
+_BACKEND = os.environ.get("ACCUNET_DWCONV", "auto")
+
+
+def _dwconv2d_impl(x, kernel, bias):
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    tc = _pick_tc(x.shape[-1])
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if (
+        _BACKEND == "pallas"
+        and on_tpu
+        and _use_pallas(x.shape, kh, kw, tc)
+    ):
+        return _dwconv2d_fwd_pallas(x, kernel, bias)
+    return dwconv2d_reference(x, kernel, bias)
+
+
+def _fwd(x, kernel, bias):
+    return _dwconv2d_impl(x, kernel, bias), (x, kernel)
+
+
+def _bwd(res, g):
+    x, kernel = res
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    # dgrad: conv of g with flipped kernel (dwconv_layer.py:19-31 identity)
+    wflip = kernel[::-1, ::-1, :]
+    dx = _dwconv2d_impl(g, wflip, None)
+    tc = _pick_tc(x.shape[-1])
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu and _use_pallas(x.shape, kh, kw, tc):
+        dw = _dwconv2d_wgrad_pallas(x, g, kh, kw).astype(kernel.dtype)
+    else:
+        # XLA wgrad: per-tap shifted reduction
+        b, h, w, c = x.shape
+        ph, pw = (kh - 1) // 2, (kw - 1) // 2
+        xp = jnp.pad(x, ((0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw), (0, 0)))
+        taps = []
+        for i in range(kh):
+            row = []
+            for j in range(kw):
+                win = lax.dynamic_slice(xp, (0, i, j, 0), (b, h, w, c))
+                row.append(jnp.einsum("bhwc,bhwc->c", win, g))
+            taps.append(jnp.stack(row))
+        dw = jnp.stack(taps).astype(kernel.dtype)
+    db = jnp.sum(g, axis=(0, 1, 2)).astype(g.dtype)
+    return dx, dw, db
+
+
+_dwconv2d_vjp.defvjp(_fwd, _bwd)

@@ -36,3 +36,14 @@ register("ACC_UNet_Lite")(ACC_UNet_Lite)
 register("ACC_UNet_W")(ACC_UNet_W)
 register("UNext")(UNext)
 register("UNext_S")(UNext_S)
+
+from accunet_tpu.models.unet import UNet_base
+
+register("UNet_base")(UNet_base)
+
+from accunet_tpu.models.segmamba import VARIANTS as _SEGMAMBA_VARIANTS, build_segmamba
+
+for _name in _SEGMAMBA_VARIANTS:
+    register(_name)(
+        (lambda n: lambda **kw: build_segmamba(n, **kw))(_name)
+    )

@@ -1,0 +1,65 @@
+"""Text encoders for the text-conditioned SegMamba variants.
+
+Parity targets:
+  * ClinicalTextEncoder — frozen HF ClinicalBERT producing (B, T, 768) token
+    embeddings (flagship :58-96). The BERT forward runs on host/outside the
+    jitted graph (it is frozen — its outputs are constants w.r.t. training),
+    then the (B, T, 768) array enters the jitted model as a plain input.
+  * FakeTextEncoder — deterministic stub used when HF weights are
+    unavailable (Experiments/profile_model.py:88-104).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class FakeTextEncoder:
+    """Deterministic (B, T, 768) embeddings from string hashes — matches the
+    reference's FLOP-profiling stub in spirit (profile_model.py:88-104)."""
+
+    def __init__(self, dim: int = 768, max_len: int = 16):
+        self.dim = dim
+        self.max_len = max_len
+
+    def __call__(self, texts):
+        if texts is None:
+            return None
+        out = np.zeros((len(texts), self.max_len, self.dim), np.float32)
+        for i, t in enumerate(texts):
+            seed = abs(hash(t)) % (2 ** 31)
+            out[i] = np.random.RandomState(seed).randn(self.max_len, self.dim) * 0.02
+        return out
+
+
+class ClinicalTextEncoder:
+    """Frozen ClinicalBERT token encoder (host-side). Falls back to
+    FakeTextEncoder when the pretrained weights can't be loaded (this image
+    has no network egress)."""
+
+    def __init__(self, model_name: str = "medicalai/ClinicalBERT"):
+        self._fallback = None
+        try:
+            import torch
+            from transformers import AutoModel, AutoTokenizer
+
+            self.tokenizer = AutoTokenizer.from_pretrained(model_name)
+            self.encoder = AutoModel.from_pretrained(model_name).eval()
+            for p in self.encoder.parameters():
+                p.requires_grad_(False)
+            self._torch = torch
+        except Exception:
+            self._fallback = FakeTextEncoder()
+
+    def __call__(self, texts):
+        if texts is None:
+            return None
+        if self._fallback is not None:
+            return self._fallback(texts)
+        tokens = self.tokenizer(
+            list(texts), padding=True, truncation=True, max_length=128,
+            return_tensors="pt",
+        )
+        with self._torch.no_grad():
+            out = self.encoder(**tokens)
+        return out.last_hidden_state.numpy()

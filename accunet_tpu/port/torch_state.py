@@ -43,10 +43,16 @@ _BN_PARAM = {"scale": "weight", "bias": "bias"}
 def _convert_leaf(leaf_name: str, flax_shape, torch_val: np.ndarray) -> np.ndarray:
     v = np.asarray(torch_val, dtype=np.float32)
     if leaf_name == "kernel_t":
+        if v.ndim == 5:  # convT3d (I,O,1,kh,kw) with unit depth -> 2D
+            v = v[:, :, 0]
         return v.transpose(2, 3, 0, 1)  # convT (I,O,kh,kw) -> (kh,kw,I,O)
     if leaf_name == "kernel":
+        if v.ndim == 5:  # conv3d (O,I,1,kh,kw) with unit depth -> 2D
+            v = v[:, :, 0]
         if v.ndim == 4:
             return v.transpose(2, 3, 1, 0)  # conv OIHW -> HWIO
+        if v.ndim == 3:
+            return v.transpose(2, 1, 0)  # conv1d (O, I/g, K) -> (K, I/g, O)
         if v.ndim == 2:
             return v.T  # Linear (out,in) -> (in,out)
     if v.shape != tuple(flax_shape):

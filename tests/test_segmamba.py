@@ -1,0 +1,59 @@
+"""SegMamba family smoke tests: forward shapes, finiteness, gradients.
+
+Full golden-parity vs the reference flagship is impossible in this image
+(the reference imports mamba_ssm's CUDA extension at module load), so these
+tests pin the structural contract instead; component-level numerics are
+covered by the scan-oracle and block tests.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from accunet_tpu.models.segmamba import SegMamba, build_segmamba
+
+
+def test_flagship_forward_shapes():
+    model = build_segmamba(
+        "Segmamba_hybrid_gsc_KAN_PE_ds_CrossAttn_HSLCA_SpatialMamba",
+        in_chans=1, out_chans=1,
+        depths=(1, 1, 1, 1), feat_size=(8, 16, 24, 32), hidden_size=40,
+    )
+    x = jnp.zeros((1, 32, 32, 1))
+    text = jnp.zeros((1, 5, 768))
+    var = model.init(jax.random.PRNGKey(0), x, text, train=False)
+    out = model.apply(var, x, text, train=False)
+    assert out.shape == (1, 32, 32, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ds_variant_returns_tuple():
+    model = build_segmamba(
+        "Segmamba_hybrid_gsc_KAN_PE_ds",
+        depths=(1, 1, 1, 1), feat_size=(8, 16, 24, 32), hidden_size=40,
+    )
+    x = jnp.zeros((1, 32, 32, 1))
+    var = model.init(jax.random.PRNGKey(0), x, train=False)
+    outs = model.apply(var, x, train=False)
+    assert isinstance(outs, tuple) and len(outs) == 4
+    for o in outs:
+        assert o.shape == (1, 32, 32, 1)
+
+
+def test_baseline_segmamba_grad_flows():
+    model = build_segmamba(
+        "Segmamba",
+        depths=(1, 1, 1, 1), feat_size=(8, 16, 24, 32), hidden_size=40,
+    )
+    x = jnp.ones((1, 32, 32, 1))
+    var = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(params):
+        out = model.apply({"params": params}, x, train=False)
+        return jnp.mean(out ** 2)
+
+    g = jax.jit(jax.grad(loss))(var["params"])
+    total = jax.tree_util.tree_reduce(lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)
+    assert np.isfinite(float(total)) and float(total) > 0

@@ -41,6 +41,10 @@ from accunet_tpu.models.unet import UNet_base
 
 register("UNet_base")(UNet_base)
 
+from accunet_tpu.models.uctransnet import UCTransNet
+
+register("UCTransNet")(UCTransNet)
+
 from accunet_tpu.models.segmamba import VARIANTS as _SEGMAMBA_VARIANTS, build_segmamba
 
 for _name in _SEGMAMBA_VARIANTS:

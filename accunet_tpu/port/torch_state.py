@@ -24,15 +24,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _rewrite_indices(piece: str) -> str:
+    """Recursively turn trailing _<int> suffixes into torch ModuleList
+    indices: 'stages_0_1' -> 'stages.0.1'."""
+    m = re.match(r"^(.*)_(\d+)$", piece)
+    if m:
+        return f"{_rewrite_indices(m.group(1))}.{m.group(2)}"
+    return piece
+
+
 def _torch_key(path: tuple[str, ...]) -> str:
     parts = []
     for p in path:
-        # trailing _<int> means a torch ModuleList index
-        m = re.match(r"^(.*)_(\d+)$", p)
-        if m:
-            parts.append(f"{m.group(1)}.{m.group(2)}")
-        else:
-            parts.append(p)
+        # '__' marks a literal underscore in the torch name (no indexing):
+        # 'embeddings__1' -> 'embeddings_1'
+        parts.append("_".join(_rewrite_indices(seg) for seg in p.split("__")))
     return ".".join(parts)
 
 

@@ -45,6 +45,12 @@ from accunet_tpu.models.uctransnet import UCTransNet
 
 register("UCTransNet")(UCTransNet)
 
+from accunet_tpu.models.multires_unet import MultiResUnet
+from accunet_tpu.models.unetpp import UNetPlusPlus
+
+register("MultiResUnet")(MultiResUnet)
+register("Unetpp")(UNetPlusPlus)
+
 from accunet_tpu.models.segmamba import VARIANTS as _SEGMAMBA_VARIANTS, build_segmamba
 
 for _name in _SEGMAMBA_VARIANTS:

@@ -51,6 +51,16 @@ from accunet_tpu.models.unetpp import UNetPlusPlus
 register("MultiResUnet")(MultiResUnet)
 register("Unetpp")(UNetPlusPlus)
 
+from accunet_tpu.models.unext_cmrf import (
+    VARIANTS as _CMRF_VARIANTS,
+    build_unext_cmrf,
+)
+
+for _name in _CMRF_VARIANTS:
+    register(_name)(
+        (lambda n: lambda **kw: build_unext_cmrf(n, **kw))(_name)
+    )
+
 from accunet_tpu.models.segmamba import VARIANTS as _SEGMAMBA_VARIANTS, build_segmamba
 
 for _name in _SEGMAMBA_VARIANTS:

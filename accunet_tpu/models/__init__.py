@@ -51,6 +51,10 @@ from accunet_tpu.models.unetpp import UNetPlusPlus
 register("MultiResUnet")(MultiResUnet)
 register("Unetpp")(UNetPlusPlus)
 
+from accunet_tpu.models.u_kan import UKAN
+
+register("UKAN")(UKAN)
+
 from accunet_tpu.models.unext_cmrf import (
     VARIANTS as _CMRF_VARIANTS,
     build_unext_cmrf,

@@ -32,6 +32,17 @@ def _combine(x, y):
     return a2 * a1, a2 * b1 + b2
 
 
+def _scan_bldn(a, b):
+    """First-order scan over axis 1 of (B, L, D, N) tensors, via the Pallas
+    chunked kernel on TPU (ops/pallas/scan.py) with custom VJP, or
+    associative_scan elsewhere."""
+    from accunet_tpu.ops.pallas.scan import chunked_linear_scan
+
+    bb, l, d, n = a.shape
+    h = chunked_linear_scan(a.reshape(bb, l, d * n), b.reshape(bb, l, d * n))
+    return h.reshape(bb, l, d, n)
+
+
 def selective_scan(
     u,
     delta,
@@ -59,7 +70,7 @@ def selective_scan(
     # (B, L, D, N) internal layout: L is the scan axis, D*N vectorizes on VPU
     a = jnp.exp(jnp.einsum("bdl,dn->bldn", delta, A))
     bu = jnp.einsum("bdl,bnl,bdl->bldn", delta, B, u)
-    _, h = lax.associative_scan(_combine, (a, bu), axis=1)
+    h = _scan_bldn(a, bu)
     y = jnp.einsum("bldn,bnl->bdl", h, C)
     if D is not None:
         y = y + u * D.astype(jnp.float32)[None, :, None]
@@ -89,5 +100,5 @@ def selective_scan_rh(
         delta = jax.nn.softplus(delta)
     a = jnp.exp(jnp.einsum("bdl,dn->bldn", delta, A.astype(jnp.float32)))
     bu = jnp.einsum("bdl,bnl,bdl->bldn", delta, B.astype(jnp.float32), u)
-    _, h = lax.associative_scan(_combine, (a, bu), axis=1)
+    h = _scan_bldn(a, bu)
     return h.transpose(0, 2, 3, 1)  # (B, D, N, L)

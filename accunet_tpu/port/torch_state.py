@@ -86,7 +86,8 @@ def import_torch_state(
         k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
         for k, v in torch_state.items()
     }
-    rename = rename or {}
+    if rename is None:
+        rename = {}
 
     def build(tree, path, collection):
         if isinstance(tree, Mapping):
@@ -107,7 +108,10 @@ def import_torch_state(
         else:  # scalar params like MLFC 'W'
             tname = _torch_key(path)
         tname = prefix + tname
-        tname = rename.get(tname, tname)
+        if callable(rename):
+            tname = rename(tname)
+        else:
+            tname = rename.get(tname, tname)
         if tname not in torch_np:
             if strict:
                 raise KeyError(f"torch state_dict missing {tname!r} for flax {path}")

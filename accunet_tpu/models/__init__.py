@@ -55,6 +55,20 @@ from accunet_tpu.models.u_kan import UKAN
 
 register("UKAN")(UKAN)
 
+from accunet_tpu.models.swin_unet import SwinUnet
+
+register("SwinUnet")(SwinUnet)
+
+from accunet_tpu.models.transunet import TransUNet
+
+register("TransUNet")(TransUNet)
+register("TransUnet_fKAN")(
+    lambda **kw: TransUNet(mlp_type="fkan", **kw)
+)
+register("TransUNet_Vit_fKAN")(
+    lambda **kw: TransUNet(backbone="ViT-B_16", mlp_type="fkan", **kw)
+)
+
 from accunet_tpu.models.unext_cmrf import (
     VARIANTS as _CMRF_VARIANTS,
     build_unext_cmrf,

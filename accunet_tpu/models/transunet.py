@@ -123,6 +123,8 @@ class ViTBlock(nn.Module):
     hidden: int
     heads: int
     mlp_dim: int
+    mlp_type: str = "dense"  # 'dense' | 'fkan' (TransUnet_fKAN family,
+    #                           nets/vit_seg_modeling_KAN_fJNB.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -146,9 +148,18 @@ class ViTBlock(nn.Module):
 
         h = x
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ffn_norm")(x)
-        y = nn.Dense(self.mlp_dim, dtype=self.dtype, name="ffn_fc1")(y)
-        y = jax.nn.gelu(y, approximate=False)
-        y = nn.Dense(self.hidden, dtype=self.dtype, name="ffn_fc2")(y)
+        if self.mlp_type == "fkan":
+            from accunet_tpu.nn.kan import KAN
+
+            b2, n2, c2 = y.shape
+            y = KAN(
+                (self.hidden, self.mlp_dim, self.hidden), dtype=self.dtype,
+                name="ffn_kan",
+            )(y.reshape(b2 * n2, c2)).reshape(b2, n2, c2)
+        else:
+            y = nn.Dense(self.mlp_dim, dtype=self.dtype, name="ffn_fc1")(y)
+            y = jax.nn.gelu(y, approximate=False)
+            y = nn.Dense(self.hidden, dtype=self.dtype, name="ffn_fc2")(y)
         return y + h
 
 
@@ -195,6 +206,7 @@ class TransUNet(nn.Module):
     mlp_dim: int = 3072
     decoder_channels: Sequence[int] = (256, 128, 64, 16)
     n_skip: int = 3
+    mlp_type: str = "dense"
     final_sigmoid: bool = True
     dtype: Dtype = jnp.float32
 
@@ -225,7 +237,10 @@ class TransUNet(nn.Module):
         tok = tok + pos.astype(tok.dtype)
 
         for i in range(self.num_layers):
-            tok = ViTBlock(self.hidden, self.heads, self.mlp_dim, dt, name=f"layer_{i}")(tok)
+            tok = ViTBlock(
+                self.hidden, self.heads, self.mlp_dim, self.mlp_type, dt,
+                name=f"layer_{i}",
+            )(tok)
         tok = nn.LayerNorm(epsilon=1e-6, dtype=dt, name="encoder_norm")(tok)
 
         y = tok.reshape(b, h, w, self.hidden)

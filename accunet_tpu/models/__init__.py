@@ -55,6 +55,16 @@ from accunet_tpu.models.u_kan import UKAN
 
 register("UKAN")(UKAN)
 
+from accunet_tpu.models.tiny_unet import TinyUNet
+
+register("TinyUNet")(TinyUNet)
+
+from accunet_tpu.models.medmamba import VSSM, SpatialMamba, Backbone_SpatialMamba
+
+register("MedMamba")(VSSM)
+register("SpatialMamba")(SpatialMamba)
+register("Backbone_SpatialMamba")(Backbone_SpatialMamba)
+
 from accunet_tpu.models.swin_unet import SwinUnet
 
 register("SwinUnet")(SwinUnet)

@@ -60,3 +60,40 @@ def resize_bilinear(
 def upsample_bilinear_2x(x: jax.Array, align_corners: bool = False) -> jax.Array:
     """F.interpolate(scale_factor=2, mode='bilinear') equivalent."""
     return resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2), align_corners)
+
+
+def _cubic_weights(t, a=-0.75):
+    """Keys cubic convolution kernel (torch bicubic, A=-0.75)."""
+    at = jnp.abs(t)
+    w1 = (a + 2) * at ** 3 - (a + 3) * at ** 2 + 1
+    w2 = a * at ** 3 - 5 * a * at ** 2 + 8 * a * at - 4 * a
+    return jnp.where(at <= 1, w1, jnp.where(at < 2, w2, 0.0))
+
+
+def _resize_axis_cubic(x, axis, out_size, align_corners):
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    if align_corners and out_size > 1:
+        src = jnp.arange(out_size, dtype=jnp.float32) * ((in_size - 1) / (out_size - 1))
+    else:
+        src = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * (in_size / out_size) - 0.5
+    base = jnp.floor(src).astype(jnp.int32)
+    out = None
+    for k in range(-1, 3):
+        idx = jnp.clip(base + k, 0, in_size - 1)
+        wk = _cubic_weights(src - (base + k).astype(jnp.float32))
+        shape = [1] * x.ndim
+        shape[axis] = out_size
+        term = jnp.take(x, idx, axis=axis) * wk.reshape(shape).astype(x.dtype)
+        out = term if out is None else out + term
+    return out
+
+
+def resize_bicubic(
+    x: jax.Array, out_hw: tuple[int, int], align_corners: bool = False
+) -> jax.Array:
+    """torch F.interpolate(..., mode='bicubic') equivalent (NHWC), separable
+    Keys cubic with clamped borders."""
+    x = _resize_axis_cubic(x, 1, out_hw[0], align_corners)
+    return _resize_axis_cubic(x, 2, out_hw[1], align_corners)

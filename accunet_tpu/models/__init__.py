@@ -65,6 +65,29 @@ register("MedMamba")(VSSM)
 register("SpatialMamba")(SpatialMamba)
 register("Backbone_SpatialMamba")(Backbone_SpatialMamba)
 
+from accunet_tpu.models.unext_inceptionnext import UNextInceptionNextMLFC
+
+register("UNext_InceptionNext_MLFC")(UNextInceptionNextMLFC)
+register("UNext_InceptionNext_MLFC_fKAN")(
+    lambda **kw: UNextInceptionNextMLFC(use_fkan=True, **kw)
+)
+
+from accunet_tpu.models.seg_fvit import SegViTfKAN
+
+register("SegViT_fKAN")(SegViTfKAN)
+
+
+def _sme_swin(**kw):
+    # SMESwinUnet wrapper semantics (nets/SMESwinUnet.py:28-47): Swin-Unet
+    # core at 224; SME external-attention refinements are exposed as
+    # nn.attention.ExternalAttention for composition.
+    from accunet_tpu.models.swin_unet import SwinUnet as _S
+
+    return _S(**kw)
+
+
+register("SMESwinUnet")(_sme_swin)
+
 from accunet_tpu.models.swin_unet import SwinUnet
 
 register("SwinUnet")(SwinUnet)

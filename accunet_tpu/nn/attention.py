@@ -29,6 +29,23 @@ from accunet_tpu.nn.kan import KAN
 Dtype = Any
 
 
+class ExternalAttention(nn.Module):
+    """External attention with shared memory units
+    (/root/reference/Experiments/nets/mcct.py:26-55): Mk → softmax over the
+    token axis → L1-normalize over memory slots → Mv. Used by SMESwinUnet."""
+
+    d_model: int
+    s: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, queries):
+        attn = nn.Dense(self.s, use_bias=False, dtype=self.dtype, name="mk")(queries)
+        attn = jax.nn.softmax(attn, axis=1)
+        attn = attn / (attn.sum(axis=2, keepdims=True))
+        return nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="mv")(attn)
+
+
 class MDTAAttention(nn.Module):
     """Channel-wise transposed attention over a 2D feature map (B,H,W,C)."""
 

@@ -54,7 +54,99 @@ def jacobi_polynomial(x, n: int, alpha, beta, gamma, a: float, b: float):
             + (3 + alpha) * (4 + alpha + beta) * (5 + alpha + beta) * u ** 2 / 8
             + (4 + alpha + beta) * (5 + alpha + beta) * (6 + alpha + beta) * u ** 3 / 48
         )
+    ab = alpha + beta
+    if n == 4:
+        return (
+            (alpha + 1) * (alpha + 2) * (3 + alpha) * (4 + alpha) / 24
+            + (alpha + 2) * (3 + alpha) * (4 + alpha) * (5 + ab) * u / 12
+            + (3 + alpha) * (4 + alpha) * (5 + ab) * (6 + ab) * u ** 2 / 16
+            + (4 + alpha) * (5 + ab) * (6 + ab) * (7 + ab) * u ** 3 / 48
+            + (5 + ab) * (6 + ab) * (7 + ab) * (8 + ab) * u ** 4 / 384
+        )
+    if n == 5:
+        return (
+            (alpha + 1) * (alpha + 2) * (alpha + 3) * (alpha + 4) * (alpha + 5) / 120
+            + (alpha + 2) * (alpha + 3) * (alpha + 4) * (alpha + 5) * (6 + ab) * u / 48
+            + (alpha + 3) * (alpha + 4) * (alpha + 5) * (6 + ab) * (7 + ab) * u ** 2 / 48
+            + (alpha + 4) * (alpha + 5) * (6 + ab) * (7 + ab) * (8 + ab) * u ** 3 / 96
+            + (alpha + 5) * (6 + ab) * (7 + ab) * (8 + ab) * (9 + ab) * u ** 4 / 384
+            + (6 + ab) * (7 + ab) * (8 + ab) * (9 + ab) * (10 + ab) * u ** 5 / 3840
+        )
     raise NotImplementedError(f"jacobi degree {n}")
+
+
+def rational_jacobi_polynomial(x, n: int, alpha, beta, zeta, iota):
+    """Rational Jacobi polynomial with argument x^z/sqrt(x^2z + iota^2) - 1
+    (jacobi_polynomials.py:1-195, degrees 1..3 implemented)."""
+    u = x ** zeta / jnp.sqrt(x ** (2 * zeta) + iota ** 2) - 1
+    if n == 1:
+        return (alpha - beta + (alpha + beta + 2) * u) / 2
+    if n == 2:
+        return (
+            (alpha + 1) * (alpha + 2) / 2
+            + (alpha + 2) * (3 + alpha + beta) * u / 2
+            + (3 + alpha + beta) * (4 + alpha + beta) * u ** 2 / 8
+        )
+    if n == 3:
+        return (
+            (alpha + 1) * (alpha + 2) * (3 + alpha) / 6
+            + (alpha + 2) * (3 + alpha) * (4 + alpha + beta) * u / 4
+            + (3 + alpha) * (4 + alpha + beta) * (5 + alpha + beta) * u ** 2 / 8
+            + (4 + alpha + beta) * (5 + alpha + beta) * (6 + alpha + beta) * u ** 3 / 48
+        )
+    raise NotImplementedError(f"rational jacobi degree {n}")
+
+
+# shifted_jacobi_polynomial (jacobi_polynomials.py:196+) matches
+# jacobi_polynomial's closed forms exactly
+shifted_jacobi_polynomial = jacobi_polynomial
+
+
+class JacobiRKAN(nn.Module):
+    """Rational Jacobi activation (archs/rkan.py:93-129)."""
+
+    degree: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", nn.initializers.ones, (1,), jnp.float32)
+        beta = self.param("beta", nn.initializers.ones, (1,), jnp.float32)
+        iota = self.param("iota", nn.initializers.ones, (1,), jnp.float32)
+        return rational_jacobi_polynomial(
+            x, self.degree, jax.nn.elu(alpha, 1.0), jax.nn.elu(beta, 1.0),
+            1.0, jax.nn.softplus(iota),
+        )
+
+
+class PadeRKAN(nn.Module):
+    """Pade [p/q] rational of shifted Jacobi polynomials (archs/rkan.py:8-90)."""
+
+    degree_p: int = 2
+    degree_q: int = 6
+
+    @nn.compact
+    def __call__(self, x):
+        ap = self.param("alpha_p", nn.initializers.ones, (1,), jnp.float32)
+        bp = self.param("beta_p", nn.initializers.ones, (1,), jnp.float32)
+        zp = self.param("zeta_p", nn.initializers.zeros, (1,), jnp.float32)
+        wp = self.param("w_p", nn.initializers.ones, (self.degree_p,), jnp.float32)
+        aq = self.param("alpha_q", nn.initializers.ones, (1,), jnp.float32)
+        bq = self.param("beta_q", nn.initializers.ones, (1,), jnp.float32)
+        zq = self.param("zeta_q", nn.initializers.zeros, (1,), jnp.float32)
+        wq = self.param("w_q", nn.initializers.ones, (self.degree_q,), jnp.float32)
+
+        s = jax.nn.sigmoid(x)
+
+        def poly(w, a, b, z, degree):
+            out = w[0] + w[1] * s
+            for deg in range(2, degree):
+                out = out + w[deg] * shifted_jacobi_polynomial(
+                    s, deg, jax.nn.elu(a, 1.0), jax.nn.elu(b, 1.0),
+                    jax.nn.sigmoid(z), 0.0, 1.0,
+                )
+            return out
+
+        return poly(wp, ap, bp, zp, self.degree_p) / poly(wq, aq, bq, zq, self.degree_q)
 
 
 class FractionalJacobiNeuralBlock(nn.Module):
@@ -123,6 +215,10 @@ class KANLinear(nn.Module):
         xf = x.astype(jnp.float32)
         if self.base_activation == "fjnb":
             act = FractionalJacobiNeuralBlock(3, name="base_activation")(xf)
+        elif self.base_activation == "rkan":  # kan_r.py:54 JacobiRKAN(3)
+            act = JacobiRKAN(3, name="base_activation")(xf)
+        elif self.base_activation == "pade":
+            act = PadeRKAN(2, 6, name="base_activation")(xf)
         else:
             act = jax.nn.silu(xf)
         base_out = act @ base_weight.T

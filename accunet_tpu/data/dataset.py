@@ -34,6 +34,10 @@ def _resize_image(img: np.ndarray, size: int, nearest: bool) -> np.ndarray:
         return cv2.resize(img.astype(np.float32), (size, size), interpolation=interp)
     except ImportError:
         pass
+    from accunet_tpu.data import native_loader
+
+    if native_loader.available():
+        return native_loader.resize2d(img, size, nearest)
     try:
         from PIL import Image
 
@@ -136,7 +140,8 @@ class SegmentationDataset:
         if img.ndim == 3:  # (4,H,W) → single channel
             img = img[self.channel_idx]
         img = _resize_image(img.astype(np.float32), self.image_size, False)
-        mean, std = img.mean(), img.std()
+        # torch .std() is unbiased (ddof=1) — Load_Dataset.py:474-476
+        mean, std = img.mean(), img.std(ddof=1)
         img = (img - mean) / (std + 1e-8)
         img = img[..., None]
         mask = np.load(os.path.join(self.mask_dir, fname)).astype(np.float32)

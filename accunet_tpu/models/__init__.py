@@ -88,6 +88,10 @@ def _sme_swin(**kw):
 
 register("SMESwinUnet")(_sme_swin)
 
+from accunet_tpu.models.knunet import KMUNet
+
+register("KNUnet")(KMUNet)
+
 from accunet_tpu.models.swin_unet import SwinUnet
 
 register("SwinUnet")(SwinUnet)

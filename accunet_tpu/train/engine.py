@@ -210,9 +210,19 @@ def fit(
     ckpt_dir: str | None = None,
     early_stop_patience: int = 100,
     log_every: bool = True,
+    tensorboard_dir: str | None = None,
 ):
     """Epoch driver with best-dice checkpointing and early stopping
-    (train_model.py:782-831)."""
+    (train_model.py:782-831). `tensorboard_dir` enables epoch-scalar logging
+    (Train_one_epoch.py:193-198 equivalent) when tensorboardX is present."""
+    writer = None
+    if tensorboard_dir:
+        try:
+            from tensorboardX import SummaryWriter
+
+            writer = SummaryWriter(tensorboard_dir)
+        except ImportError:
+            logger.warning("tensorboardX unavailable; skipping TB logging")
     state = fns.state
     best_dice, best_epoch = -1.0, 0
     history = []
@@ -226,6 +236,11 @@ def fit(
                 epoch, tr.get("loss", 0), tr.get("dice", 0),
                 va.get("loss", 0), va.get("dice", 0),
             )
+        if writer is not None:
+            for split, stats in (("train", tr), ("val", va)):
+                for k in ("loss", "dice", "iou"):
+                    if k in stats:
+                        writer.add_scalar(f"{split}/{k}", stats[k], epoch)
         if va.get("dice", 0) > best_dice:
             best_dice, best_epoch = va["dice"], epoch
             if ckpt_dir:
@@ -233,4 +248,6 @@ def fit(
         elif epoch - best_epoch >= early_stop_patience:
             logger.info("early stopping at epoch %d (best %d)", epoch, best_epoch)
             break
+    if writer is not None:
+        writer.close()
     return state, history

@@ -222,6 +222,48 @@ class ResPath(nn.Module):
         return batch_norm(x, train, self.dtype, name="sqe")
 
 
+class _MLFCFusedConv(nn.Module):
+    """Decomposed MLFC cross-level fusion (same trick as HANCLayer): the
+    reference concatenates all 4 levels resampled to this level's resolution
+    and applies Conv2d_batchnorm (1x1 conv → BN → LeakyReLU → SE,
+    ACC_UNet/ACC_UNet.py:427-487). Here the 1x1 kernel is split per source
+    level; upsampled sources are matmul'd at their native (low) resolution
+    before nearest upsampling — identical math up to fp reassociation, with
+    no (f1+f2+f3+f4)-channel intermediate. Param paths match the reference
+    (conv1/batchnorm/sqe) for mechanical porting."""
+
+    filts: Sequence[int]
+    lvl: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        filts = list(self.filts)
+        lvl = self.lvl
+        kernel, bias = _Conv1x1Params(sum(filts), filts[lvl], name="conv1")()
+        w = kernel[0, 0]  # (sum(filts), f_lvl)
+        offs = [0]
+        for f in filts:
+            offs.append(offs[-1] + f)
+        y = None
+        for src in range(4):
+            wj = w[offs[src] : offs[src + 1]].astype(xs[src].dtype)
+            t = xs[src]
+            if src <= lvl:
+                for _ in range(lvl - src):  # pool first (cheaper), then matmul
+                    t = avg_pool2d(t, 2)
+            term = jax.lax.dot_general(
+                t, wj, (((t.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(t.dtype)
+            if src > lvl:  # matmul at source res, then upsample
+                term = upsample_nearest(term, 2 ** (src - lvl))
+            y = term if y is None else y + term
+        y = y + bias.astype(y.dtype)
+        y = batch_norm(y, train, self.dtype, name="batchnorm")
+        return ChannelSELayer(filts[lvl], self.dtype, name="sqe")(lrelu(y), train)
+
+
 class MLFC(nn.Module):
     in_filters: Sequence[int]  # (f1, f2, f3, f4)
     lenn: int = 1
@@ -251,20 +293,9 @@ class MLFC(nn.Module):
         for i in range(self.lenn):
             fused = []
             for lvl in range(4):
-                parts = []
-                for src in range(4):
-                    t = xs[src]
-                    if src < lvl:  # downsample by 2^(lvl-src)
-                        for _ in range(lvl - src):
-                            t = avg_pool2d(t, 2)
-                    elif src > lvl:  # upsample by repeated 2x nearest
-                        for _ in range(src - lvl):
-                            t = upsample_nearest(t, 2)
-                    parts.append(t)
-                cat = jnp.concatenate(parts, axis=-1)
-                y = Conv2dBatchnorm(
-                    filts[lvl], (1, 1), self.dtype, name=f"cnv_blks{lvl + 1}_{i}"
-                )(cat, train)
+                y = _MLFCFusedConv(filts, lvl, self.dtype, name=f"cnv_blks{lvl + 1}_{i}")(
+                    xs, train
+                )
                 y = batch_norm(y, train, self.dtype, name=f"bns{lvl + 1}_{i}")
                 fused.append(lrelu(y))
 

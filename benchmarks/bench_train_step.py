@@ -1,0 +1,72 @@
+"""Train-step throughput benchmark (BASELINE config: full ACC-UNet 16.77M,
+BCE+Dice, batch 8 @ 224; sweepable).
+
+Run: python benchmarks/bench_train_step.py [--model ACC_UNet] [--batch 8 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from accunet_tpu.models import build
+from accunet_tpu.train import losses as L
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="ACC_UNet")
+    ap.add_argument("--img", type=int, default=224)
+    ap.add_argument("--batch", type=int, nargs="*", default=[8, 32])
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+    dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    model = build(args.model, n_channels=3, n_classes=1, dtype=dt)
+    tx = optax.adam(1e-3)
+
+    for bs in args.batch:
+        x = jnp.asarray(np.random.rand(bs, args.img, args.img, 3), jnp.float32)
+        y = jnp.asarray(np.random.rand(bs, args.img, args.img, 1) > 0.5, jnp.float32)
+        var = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x, train=False))()
+        opt = tx.init(var["params"])
+
+        def loss_fn(p, bstats, x, y):
+            out, upd = model.apply(
+                {"params": p, "batch_stats": bstats}, x, train=True,
+                mutable=["batch_stats"],
+            )
+            return L.weighted_dice_bce(out, y), upd["batch_stats"]
+
+        @jax.jit
+        def step(p, bstats, o, x, y):
+            (l, nbs), g = jax.value_and_grad(loss_fn, has_aux=True)(p, bstats, x, y)
+            u, no = tx.update(g, o, p)
+            return l, optax.apply_updates(p, u), nbs, no
+
+        p, bstats = var["params"], var["batch_stats"]
+        l, p, bstats, opt = step(p, bstats, opt, x, y)
+        l.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            xc = x + (0 * l).astype(x.dtype)
+            l, p, bstats, opt = step(p, bstats, opt, xc, y)
+        l.block_until_ready()
+        dtm = (time.perf_counter() - t0) / args.steps
+        print(
+            f"{args.model} b{bs}@{args.img} {args.dtype} train: "
+            f"{dtm*1e3:7.1f} ms/step  {bs/dtm:7.1f} img/s  loss={float(l):.4f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -30,8 +30,11 @@ def _resize_image(img: np.ndarray, size: int, nearest: bool) -> np.ndarray:
     try:
         import cv2
 
-        interp = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
-        return cv2.resize(img.astype(np.float32), (size, size), interpolation=interp)
+        if hasattr(cv2, "resize"):  # guard against test stubs
+            interp = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
+            return cv2.resize(
+                img.astype(np.float32), (size, size), interpolation=interp
+            )
     except ImportError:
         pass
     from accunet_tpu.data import native_loader

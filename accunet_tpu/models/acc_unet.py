@@ -54,6 +54,7 @@ class ACCUNet(nn.Module):
     variant: str = "base"  # 'base' | 'lite' | 'w'
     final_sigmoid: bool = True   # only applies when n_classes == 1
     wide_decoder_block: bool = True  # cnv72 inv_fctr 34 (canonical) vs 3 (harness)
+    remat: bool = False  # jax.checkpoint each HANCBlock (training memory)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -63,8 +64,12 @@ class ACCUNet(nn.Module):
         x = x.astype(dt)
         mode = {"base": "full", "lite": "lite", "w": "w"}[self.variant]
 
+        block_cls = (
+            nn.remat(HANCBlock, static_argnums=(2,)) if self.remat else HANCBlock
+        )
+
         def hanc(n_in, n_out, k, inv, name):
-            return HANCBlock(n_in, n_out, k=k, inv_fctr=inv, dtype=dt, name=name)
+            return block_cls(n_in, n_out, k=k, inv_fctr=inv, dtype=dt, name=name)
 
         x2 = hanc(self.n_channels, f, 3, 3, "cnv11")(x, train)
         x2 = hanc(f, f, 3, 3, "cnv12")(x2, train)

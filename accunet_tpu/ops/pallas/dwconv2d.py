@@ -209,7 +209,7 @@ def _bwd(res, g):
     dx = _dwconv2d_impl(g, wflip, None)
     tc = _pick_tc(x.shape[-1])
     on_tpu = jax.devices()[0].platform == "tpu"
-    if on_tpu and _use_pallas(x.shape, kh, kw, tc):
+    if _BACKEND == "pallas" and on_tpu and _use_pallas(x.shape, kh, kw, tc):
         dw = _dwconv2d_wgrad_pallas(x, g, kh, kw).astype(kernel.dtype)
     else:
         # XLA wgrad: per-tap shifted reduction

@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--img", type=int, default=224)
     ap.add_argument("--batches", type=int, nargs="*", default=[512, 1024])
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="timing repeats per batch size (best taken; the "
+                         "axon relay pool shares chips, so single runs are "
+                         "noisy)")
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
 
@@ -53,13 +57,16 @@ def main():
             # timed steps; each step's input depends on the previous output
             # so executions serialize on one chip (the pool behind the axon
             # relay would otherwise run independent steps concurrently and
-            # inflate throughput)
-            t0 = time.perf_counter()
-            for _ in range(args.steps):
-                xc = x + (0 * out[0, 0, 0, 0]).astype(x.dtype)
-                out = fwd(variables, xc)
-            out.block_until_ready()
-            dt = time.perf_counter() - t0
+            # inflate throughput); repeats + best-of defends against pool
+            # contention
+            dt = float("inf")
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                for _ in range(args.steps):
+                    xc = x + (0 * out[0, 0, 0, 0]).astype(x.dtype)
+                    out = fwd(variables, xc)
+                out.block_until_ready()
+                dt = min(dt, time.perf_counter() - t0)
         except Exception as e:  # OOM at large batch etc.
             print(f"batch {bs} failed: {e}", file=sys.stderr)
             continue

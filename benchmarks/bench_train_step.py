@@ -28,10 +28,12 @@ def main():
     ap.add_argument("--batch", type=int, nargs="*", default=[8, 32])
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
-    model = build(args.model, n_channels=3, n_classes=1, dtype=dt)
+    kwargs = {"remat": True} if args.remat else {}
+    model = build(args.model, n_channels=3, n_classes=1, dtype=dt, **kwargs)
     tx = optax.adam(1e-3)
 
     for bs in args.batch:

@@ -89,6 +89,35 @@ class ChannelSELayer(nn.Module):
         return lrelu(out)
 
 
+class DepthwiseConv(nn.Module):
+    """Depthwise conv with the custom TPU VJP from ops/pallas/dwconv2d.
+
+    Forward is XLA's grouped conv (bandwidth-optimal); the backward swaps
+    XLA's pathological depthwise weight-gradient (measured ~20x slower than
+    the data-gradient on v5e) for per-tap shifted reductions. Param layout
+    matches nn.Conv(feature_group_count=C) for mechanical porting."""
+
+    features: int
+    kernel_size: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, 1, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        from accunet_tpu.ops.pallas.dwconv2d import dwconv2d
+
+        return dwconv2d(
+            x, kernel[:, :, 0, :].astype(x.dtype), bias.astype(x.dtype)
+        )
+
+
 class _Conv1x1Params(nn.Module):
     """Holds a 1x1 conv's parameters under the standard names so checkpoint
     porting stays mechanical while the op itself is decomposed."""
@@ -183,10 +212,7 @@ class HANCBlock(nn.Module):
         x = batch_norm(x, train, self.dtype, name="norm1")
         x = lrelu(x)
 
-        x = nn.Conv(
-            e, (3, 3), padding="SAME", feature_group_count=e,
-            dtype=self.dtype, name="conv2",
-        )(x)
+        x = DepthwiseConv(e, 3, self.dtype, name="conv2")(x)
         x = batch_norm(x, train, self.dtype, name="norm2")
         x = lrelu(x)
 

@@ -456,6 +456,72 @@ class GroupAggregationBridge(nn.Module):
         return nn.Conv(self.dim_xl, (1, 1), dtype=self.dtype, name="tail_conv")(y)
 
 
+class GHPA(nn.Module):
+    """Grouped multi-axis Hadamard Product Attention (EGE-UNet,
+    ege_unet.py:94-155): channel-quartered branches gated by learned
+    parameter grids resized with align_corners=True along the (H,W), (W,C),
+    (H,C) axis pairs plus a depthwise branch, then LN + depthwise mix."""
+
+    dim_in: int
+    dim_out: int
+    grid: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c4 = self.dim_in // 4
+        g = self.grid
+        dt = self.dtype
+
+        def dw_gelu_pw(t, name, one_d=False):
+            kdims = (3,) if one_d else (3, 3)
+            t = nn.Conv(
+                c4, kdims, padding="SAME", feature_group_count=c4, dtype=dt,
+                name=f"{name}_0",
+            )(t)
+            t = jax.nn.gelu(t, approximate=False)
+            return nn.Conv(c4, (1,) if one_d else (1, 1), dtype=dt, name=f"{name}_2")(t)
+
+        x = ChannelsFirstLN(self.dim_in, dtype=dt, name="norm1")(x)
+        x1 = x[..., :c4]
+        x2 = x[..., c4 : 2 * c4]
+        x3 = x[..., 2 * c4 : 3 * c4]
+        x4 = x[..., 3 * c4 :]
+        b, h, w, _ = x1.shape
+
+        p_xy = self.param("params_xy", nn.initializers.ones, (1, g, g, c4), jnp.float32)
+        gate = resize_bilinear(p_xy.astype(dt), (h, w), align_corners=True)
+        x1 = x1 * dw_gelu_pw(gate, "conv_xy")
+
+        # zx: gate over (W, C) — params (1, 1, c4, g) in torch → here a
+        # (c4, g) map resized to (c4→c4?, ...); torch resizes (C,x)->(C,W)
+        p_zx = self.param("params_zx", nn.initializers.ones, (1, c4, g, 1), jnp.float32)
+        gate = resize_bilinear(p_zx.astype(dt), (c4, w), align_corners=True)  # (1,c4,W,1)
+        gate = dw_gelu_pw(gate[:, :, :, 0].transpose(0, 2, 1), "conv_zx", one_d=True)
+        # gate (1, W, c4) broadcasts over batch and H
+        x2 = x2 * gate[:, None, :, :]
+
+        p_zy = self.param("params_zy", nn.initializers.ones, (1, c4, g, 1), jnp.float32)
+        gate = resize_bilinear(p_zy.astype(dt), (c4, h), align_corners=True)
+        gate = dw_gelu_pw(gate[:, :, :, 0].transpose(0, 2, 1), "conv_zy", one_d=True)
+        x3 = x3 * gate[:, :, None, :]
+
+        x4 = nn.Conv(c4, (1, 1), dtype=dt, name="dw_0")(x4)
+        x4 = jax.nn.gelu(x4, approximate=False)
+        x4 = nn.Conv(
+            c4, (3, 3), padding="SAME", feature_group_count=c4, dtype=dt, name="dw_2"
+        )(x4)
+
+        y = jnp.concatenate([x1, x2, x3, x4], axis=-1)
+        y = ChannelsFirstLN(self.dim_in, dtype=dt, name="norm2")(y)
+        y = nn.Conv(
+            self.dim_in, (3, 3), padding="SAME", feature_group_count=self.dim_in,
+            dtype=dt, name="ldw_0",
+        )(y)
+        y = jax.nn.gelu(y, approximate=False)
+        return nn.Conv(self.dim_out, (1, 1), dtype=dt, name="ldw_2")(y)
+
+
 # ------------------------------------------------------------- wavelet
 
 

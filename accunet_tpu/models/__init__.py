@@ -22,6 +22,15 @@ def register(name: str):
 
 def build(name: str, **kwargs):
     if name not in registry:
+        # 'MultiResUnet1_<nfilt>_<alpha>' model-name strings
+        # (train_model.py:386-387)
+        import re
+
+        m = re.match(r"^MultiResUnet1?_(\d+)_([\d.]+)$", name)
+        if m:
+            kwargs.setdefault("nfilt", int(m.group(1)))
+            kwargs.setdefault("alpha", float(m.group(2)))
+            return registry["MultiResUnet"](**kwargs)
         raise KeyError(
             f"unknown model {name!r}; available: {sorted(registry)}"
         )

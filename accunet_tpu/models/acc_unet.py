@@ -64,9 +64,12 @@ class ACCUNet(nn.Module):
         x = x.astype(dt)
         mode = {"base": "full", "lite": "lite", "w": "w"}[self.variant]
 
-        block_cls = (
-            nn.remat(HANCBlock, static_argnums=(2,)) if self.remat else HANCBlock
-        )
+        if self.remat:
+            block_cls = nn.remat(HANCBlock, static_argnums=(2,))
+            respath_cls = nn.remat(ResPath, static_argnums=(2,))
+            mlfc_cls = nn.remat(MLFC, static_argnums=(5,))
+        else:
+            block_cls, respath_cls, mlfc_cls = HANCBlock, ResPath, MLFC
 
         def hanc(n_in, n_out, k, inv, name):
             return block_cls(n_in, n_out, k=k, inv_fctr=inv, dtype=dt, name=name)
@@ -82,15 +85,15 @@ class ACCUNet(nn.Module):
         x6 = hanc(f * 8, f * 16, 1, 3, "cnv51")(max_pool2d(x5, 2), train)
         x6 = hanc(f * 16, f * 16, 1, 3, "cnv52")(x6, train)
 
-        x2 = ResPath(f, 4, dt, name="rspth1")(x2, train)
-        x3 = ResPath(f * 2, 3, dt, name="rspth2")(x3, train)
-        x4 = ResPath(f * 4, 2, dt, name="rspth3")(x4, train)
-        x5 = ResPath(f * 8, 1, dt, name="rspth4")(x5, train)
+        x2 = respath_cls(f, 4, dt, name="rspth1")(x2, train)
+        x3 = respath_cls(f * 2, 3, dt, name="rspth2")(x3, train)
+        x4 = respath_cls(f * 4, 2, dt, name="rspth3")(x4, train)
+        x5 = respath_cls(f * 8, 1, dt, name="rspth4")(x5, train)
 
         filts = (f, f * 2, f * 4, f * 8)
-        x2, x3, x4, x5 = MLFC(filts, 1, mode, dt, name="mlfc1")(x2, x3, x4, x5, train)
-        x2, x3, x4, x5 = MLFC(filts, 1, mode, dt, name="mlfc2")(x2, x3, x4, x5, train)
-        x2, x3, x4, x5 = MLFC(filts, 1, mode, dt, name="mlfc3")(x2, x3, x4, x5, train)
+        x2, x3, x4, x5 = mlfc_cls(filts, 1, mode, dt, name="mlfc1")(x2, x3, x4, x5, train)
+        x2, x3, x4, x5 = mlfc_cls(filts, 1, mode, dt, name="mlfc2")(x2, x3, x4, x5, train)
+        x2, x3, x4, x5 = mlfc_cls(filts, 1, mode, dt, name="mlfc3")(x2, x3, x4, x5, train)
 
         x7 = ConvTranspose2x2(f * 16, f * 8, dt, name="up6")(x6)
         x7 = hanc(f * 16, f * 8, 2, 3, "cnv61")(jnp.concatenate([x7, x5], -1), train)

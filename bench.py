@@ -34,11 +34,11 @@ def main():
     ap.add_argument("--model", default="UNext")
     ap.add_argument("--img", type=int, default=224)
     ap.add_argument("--batches", type=int, nargs="*", default=[512, 1024])
-    ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--repeats", type=int, default=3,
-                    help="timing repeats per batch size (best taken; the "
-                         "axon relay pool shares chips, so single runs are "
-                         "noisy)")
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="keep 1 unless inputs are regenerated: re-feeding "
+                         "the same values can be served from the relay's "
+                         "execution cache")
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
 
@@ -48,29 +48,44 @@ def main():
     best = 0.0
     best_bs = 0
     for bs in args.batches:
-        x = jnp.zeros((bs, args.img, args.img, 3), jnp.float32)
         try:
+            # Timing methodology for the serving relay in front of the chip:
+            #  * block_until_ready is acked before execution completes, and
+            #    per-execution dispatch carries large variable overhead, so
+            #    `steps` forwards are CHAINED INSIDE ONE JIT (each step's
+            #    input depends numerically on the previous step's output —
+            #    forced serialization, no value-cache reuse, no per-step
+            #    dispatch cost) and completion is forced by a 4-byte scalar
+            #    host readback.
+            x = jax.jit(
+                lambda k: jax.random.uniform(k, (bs, args.img, args.img, 3))
+            )(jax.random.PRNGKey(0))
             variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x))()
-            fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
-            out = fwd(variables, x)
-            out.block_until_ready()
-            # timed steps; each step's input depends on the previous output
-            # so executions serialize on one chip (the pool behind the axon
-            # relay would otherwise run independent steps concurrently and
-            # inflate throughput); repeats + best-of defends against pool
-            # contention
+
+            steps = args.steps
+
+            @jax.jit
+            def chained(v, x):
+                tot = jnp.float32(0)
+                for _ in range(steps):
+                    out = model.apply(v, x + (1e-6 * tot).astype(x.dtype),
+                                      train=False)
+                    tot = tot + out.mean().astype(jnp.float32)
+                return tot
+
+            float(chained(variables, x))  # compile + warm
             dt = float("inf")
-            for _ in range(args.repeats):
+            for r in range(args.repeats):
+                xr = jax.jit(
+                    lambda k: jax.random.uniform(k, (bs, args.img, args.img, 3))
+                )(jax.random.PRNGKey(r + 1))
                 t0 = time.perf_counter()
-                for _ in range(args.steps):
-                    xc = x + (0 * out[0, 0, 0, 0]).astype(x.dtype)
-                    out = fwd(variables, xc)
-                out.block_until_ready()
+                float(chained(variables, xr))
                 dt = min(dt, time.perf_counter() - t0)
         except Exception as e:  # OOM at large batch etc.
             print(f"batch {bs} failed: {e}", file=sys.stderr)
             continue
-        ips = bs * args.steps / dt
+        ips = bs * steps / dt
         print(f"batch {bs}: {ips:.1f} img/s", file=sys.stderr)
         if ips > best:
             best, best_bs = ips, bs

@@ -33,7 +33,7 @@ def chain_time(fn, args, steps=10):
     t0 = time.perf_counter()
     for _ in range(steps):
         leader = jax.tree_util.tree_leaves(out)[0]
-        args = (args[0] + (0 * leader.ravel()[0]).astype(args[0].dtype),) + args[1:]
+        args = (args[0] + (1e-6 * leader.ravel()[0]).astype(args[0].dtype),) + args[1:]
         out = fn(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / steps

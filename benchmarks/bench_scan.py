@@ -19,13 +19,16 @@ from accunet_tpu.ops.pallas.scan import _chunked_scan_fwd, _xla_scan
 
 
 def chain_time(fn, a, b, steps=10):
+    # fn returns a device scalar (sum over the full scan output) so the
+    # 4-byte host readback is a completion barrier without dragging the
+    # whole result through the relay
     out = fn(a, b)
-    jax.block_until_ready(out)
+    float(out)
     t0 = time.perf_counter()
     for _ in range(steps):
-        a2 = a + (0 * out.ravel()[0]).astype(a.dtype)
+        a2 = a + (1e-9 * out).astype(a.dtype)
         out = fn(a2, b)
-    jax.block_until_ready(out)
+        float(out)
     return (time.perf_counter() - t0) / steps
 
 
@@ -42,10 +45,10 @@ def main():
     b = jnp.asarray(rs.uniform(-0.5, 0.5, (args.batch, args.length, args.dim)), jnp.float32)
     bytes_io = a.size * 4 * 3  # read a,b write h
 
-    t_xla = chain_time(jax.jit(_xla_scan), a, b)
+    t_xla = chain_time(jax.jit(lambda a, b: _xla_scan(a, b).sum()), a, b)
     print(f"xla associative_scan: {t_xla*1e3:8.3f} ms  ({bytes_io/t_xla/1e9:6.1f} GB/s eff)")
     for chunk in args.chunks:
-        fn = jax.jit(lambda a, b, c=chunk: _chunked_scan_fwd(a, b, chunk=c))
+        fn = jax.jit(lambda a, b, c=chunk: _chunked_scan_fwd(a, b, chunk=c).sum())
         t = chain_time(fn, a, b)
         print(
             f"pallas chunk={chunk:4d}:  {t*1e3:8.3f} ms  "

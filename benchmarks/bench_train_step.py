@@ -49,24 +49,33 @@ def main():
             )
             return L.weighted_dice_bce(out, y), upd["batch_stats"]
 
-        @jax.jit
-        def step(p, bstats, o, x, y):
-            (l, nbs), g = jax.value_and_grad(loss_fn, has_aux=True)(p, bstats, x, y)
+        def step(carry, x, y):
+            p, bstats, o, l = carry
+            xc = x + (1e-6 * l).astype(x.dtype)
+            (l, nbs), g = jax.value_and_grad(loss_fn, has_aux=True)(p, bstats, xc, y)
             u, no = tx.update(g, o, p)
-            return l, optax.apply_updates(p, u), nbs, no
+            return optax.apply_updates(p, u), nbs, no, l
+
+        n_steps = args.steps
+
+        @jax.jit
+        def run(p, bstats, o, x, y):
+            # chained inside one jit: serialized on device, no per-step relay
+            # dispatch; the scalar loss readback forces completion
+            carry = (p, bstats, o, jnp.float32(0))
+            for _ in range(n_steps):
+                carry = step(carry, x, y)
+            return carry[3]
 
         p, bstats = var["params"], var["batch_stats"]
-        l, p, bstats, opt = step(p, bstats, opt, x, y)
-        l.block_until_ready()
+        float(run(p, bstats, opt, x, y))  # compile + warm
         t0 = time.perf_counter()
-        for _ in range(args.steps):
-            xc = x + (0 * l).astype(x.dtype)
-            l, p, bstats, opt = step(p, bstats, opt, xc, y)
-        l.block_until_ready()
+        l = run(p, bstats, opt, x, y)
+        lf = float(l)
         dtm = (time.perf_counter() - t0) / args.steps
         print(
             f"{args.model} b{bs}@{args.img} {args.dtype} train: "
-            f"{dtm*1e3:7.1f} ms/step  {bs/dtm:7.1f} img/s  loss={float(l):.4f}"
+            f"{dtm*1e3:7.1f} ms/step  {bs/dtm:7.1f} img/s  loss={lf:.4f}"
         )
 
 

@@ -148,6 +148,40 @@ class UNextCMRF(nn.Module):
             bot = tok.reshape(b, h4, w4, e2)
 
         # ---------------- skip preprocessing
+        if self.skip == "dense":
+            # UNet++-style nested skip refinement
+            # (UNext_CMRF_dense_skip.py:262-355): H_i_j heads densely combine
+            # skips; decoder levels then add X21/X12/X03 (t4 stays plain)
+            def head(cin, cout, name):
+                def apply(t):
+                    y = nn.Conv(
+                        cout, (3, 3), padding="SAME", use_bias=False, dtype=dt,
+                        name=f"{name}_conv",
+                    )(t)
+                    y = bn(f"{name}_bn")(y)
+                    return jax.nn.relu(y)
+
+                return apply
+
+            def up_to(t, ref):
+                if t.shape[1:3] != ref.shape[1:3]:
+                    t = resize_bilinear(t, ref.shape[1:3], align_corners=False)
+                return t
+
+            X00, X10, X20, X30 = t1, t2, t3, t4
+            X01 = head(s1 + s2, s1, "H0__1")(
+                jnp.concatenate([X00, up_to(X10, X00)], -1))
+            X11 = head(s2 + s3, s2, "H1__1")(
+                jnp.concatenate([X10, up_to(X20, X10)], -1))
+            X21 = head(s3 + e1, s3, "H2__1")(
+                jnp.concatenate([X20, up_to(X30, X20)], -1))
+            X02 = head(2 * s1 + s2, s1, "H0__2")(
+                jnp.concatenate([X00, X01, up_to(X11, X00)], -1))
+            X12 = head(2 * s2 + s3, s2, "H1__2")(
+                jnp.concatenate([X10, X11, up_to(X21, X10)], -1))
+            X03 = head(3 * s1 + s2, s1, "H0__3")(
+                jnp.concatenate([X00, X01, X02, up_to(X12, X00)], -1))
+            t1, t2, t3 = X03, X12, X21  # refined skips; t4 unchanged
         if self.skip == "mlfc":
             t1, t2, t3, t4 = MLFC(
                 (s1, s2, s3, e1), 1, "full", dt, name="mlfc"
@@ -239,6 +273,8 @@ VARIANTS = {
     "UNext_CMRF_OD": dict(encoder="cmrf_od"),
     "UNext_CMRF_BS": dict(encoder="cmrf_bs"),
     "UNext_CMRF_BSRB": dict(encoder="cmrf_bsrb"),
+    "UNext_CMRF_dense_skip": dict(encoder="cmrf", skip="dense"),
+    "UNext_CMRF_PP": dict(encoder="cmrf", skip="dense"),  # nested UNet++ skips
     "UNext_CMRF_hd": dict(encoder="cmrf"),  # pairs with hausdorff loss
     "UNext_CMRF_GS_Wavelet_hd": dict(encoder="cmrf", skip="gs", pool="wavelet"),
 }

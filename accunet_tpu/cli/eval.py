@@ -20,6 +20,8 @@ def main(argv=None):
     ap.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
     ap.add_argument("--torch-ckpt", default=None, help="reference .pth.tar to port")
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--img-size", type=int, default=None,
+                    help="override the preset image size")
     ap.add_argument("--csv", default="metrics_results.csv")
     ap.add_argument("--result", default="test.result")
     ap.add_argument("--dump-dir", default=None)
@@ -38,6 +40,8 @@ def main(argv=None):
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     cfg = get_config(args.model, args.task)
+    if args.img_size:
+        cfg.data.img_size = args.img_size
 
     ds = SegmentationDataset(args.test_dir, cfg.data.img_size)
     loader = BatchLoader(

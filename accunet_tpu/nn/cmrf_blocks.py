@@ -138,8 +138,9 @@ class ODAttention(nn.Module):
             sp = nn.Conv(
                 self.kernel_size ** 2, (1, 1), dtype=self.dtype, name="spatial_fc"
             )(s)
+            # (B, 1, 1, 1, k, k): broadcasts against weight (Kn, O, I/g, k, k)
             spatial = jax.nn.sigmoid(
-                sp.reshape(-1, 1, self.kernel_size, self.kernel_size, 1, 1)
+                sp.reshape(-1, 1, 1, 1, self.kernel_size, self.kernel_size)
             )
         if self.kernel_num == 1:
             kernel = 1.0
@@ -177,10 +178,10 @@ class ODConv2d(nn.Module):
         # per-sample aggregated kernel: (B, out, in/g, k, k)
         w = weight[None]  # (1, Kn, O, I/g, k, k)
         if isinstance(spatial, jax.Array):
-            w = w * spatial[:, :, None, None]  # spatial (B,1,k,k,1,1)→broadcast
+            w = w * spatial  # spatial (B,1,1,1,k,k) aligns (.,Kn,O,I/g,k,k)
         if isinstance(kernel, jax.Array):
-            w = w * kernel[:, :, :, None]  # kernel (B,Kn,1,1,1,1)
-        w = jnp.sum(w, axis=1) if w.shape[1] > 1 else w[:, 0]
+            w = w * kernel  # kernel (B,Kn,1,1,1,1)
+        w = jnp.sum(w, axis=1)  # (B or 1, O, I/g, k, k)
 
         # grouped conv with per-sample kernels via vmap
         def conv_one(xi, wi):

@@ -15,7 +15,7 @@ SPECS = {
     "ACC_UNet": dict(kw=dict(n_filts=8)),
     "ACC_UNet_Lite": dict(kw=dict(n_filts=8)),
     "ACC_UNet_W": dict(kw=dict(n_filts=8)),
-    "UNet_base": dict(kw=dict(base_width=4, n_classes=1)),
+    "UNet_base": dict(kw=dict(base_width=4)),
     "UNext": dict(kw={}),
     "UNext_S": dict(kw={}),
     "UCTransNet": dict(kw=dict(img_size=64, base_channel=8, num_layers=1)),

@@ -175,12 +175,13 @@ def dwconv2d(x, kernel, bias=None):
 
 import os
 
-# Measured on v5e (benchmarks/bench_dwconv2d.py, 24-layer stack, 384ch, 64²,
-# batch 64): XLA's grouped conv runs at HBM bandwidth for k=3 (1.5 ms/layer ≈
-# 670 GB/s) and uses the MXU for large k (k=13: 5.4 TF/s effective), while a
-# VPU tap-loop Pallas kernel is capped by VPU FLOPs. XLA is therefore the
-# default production path; the Pallas kernel remains available
-# (ACCUNET_DWCONV=pallas) and correctness-tested for shapes that fit VMEM.
+# Measured on v5e with in-jit chained timing (batch 64, 384ch, 64²): XLA's
+# grouped conv fwd runs 5.7 ms at k=3 and 12.5 ms at k=13 vs 9.4/51.7 ms for
+# the VPU tap-loop Pallas kernel, so XLA is the default production forward;
+# the Pallas kernel remains available (ACCUNET_DWCONV=pallas) and
+# correctness-tested. The custom VJP below is always active: XLA's depthwise
+# *weight gradient* lowering is pathological (~20x the data-gradient cost)
+# and is replaced by per-tap shifted reductions.
 _BACKEND = os.environ.get("ACCUNET_DWCONV", "auto")
 
 

@@ -19,6 +19,9 @@ def main(argv=None):
     ap.add_argument("--test-dir", required=True)
     ap.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
     ap.add_argument("--torch-ckpt", default=None, help="reference .pth.tar to port")
+    ap.add_argument("--n-classes", type=int, default=1,
+                    help=">1 evaluates an (n+1)-way argmax head "
+                         "(e.g. ACC_UNet_W 9-class @512, BASELINE config 4)")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--img-size", type=int, default=None,
                     help="override the preset image size")
@@ -43,14 +46,16 @@ def main(argv=None):
     if args.img_size:
         cfg.data.img_size = args.img_size
 
-    ds = SegmentationDataset(args.test_dir, cfg.data.img_size)
+    ds = SegmentationDataset(
+        args.test_dir, cfg.data.img_size, binarize_mask=args.n_classes == 1
+    )
     loader = BatchLoader(
         ds, args.batch, ValGenerator((cfg.data.img_size, cfg.data.img_size)),
         pad_last=True,
     )
     sample, _ = ds[0]
     n_ch = sample["image"].shape[-1]
-    model = build_model(args.model, n_channels=n_ch, n_classes=1)
+    model = build_model(args.model, n_channels=n_ch, n_classes=args.n_classes)
 
     x0 = jnp.zeros((1, cfg.data.img_size, cfg.data.img_size, n_ch))
     variables = model.init(jax.random.PRNGKey(0), x0, train=False)

@@ -91,6 +91,10 @@ class Config:
             obj = cfg
             for p in parts[:-1]:
                 obj = getattr(obj, p)
+            if parts[0] == "model" and len(parts) == 2 and not hasattr(obj, parts[-1]):
+                # unknown model.* keys become constructor kwargs
+                obj.kwargs[parts[-1]] = val
+                continue
             cur = getattr(obj, parts[-1])
             if cur is not None and not isinstance(cur, (dict, list)):
                 val = type(cur)(val) if not isinstance(val, type(cur)) else val

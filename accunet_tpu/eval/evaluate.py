@@ -77,16 +77,44 @@ def evaluate_model(
         masks = np.asarray(batch["mask"], np.float32)
         count = batch.get("count", preds.shape[0])
         for i in range(count):
-            p = preds[i, ..., 0] if preds.shape[-1] == 1 else preds[i].argmax(-1)
             g = masks[i, ..., 0] if masks.ndim == 4 else masks[i]
-            pb = (p > threshold).astype(np.uint8) if preds.shape[-1] == 1 else p
-            gb = (g > 0).astype(np.uint8)
-            entry = {
-                "name": batch["names"][i] if "names" in batch else str(n),
-                "dice": M.np_dice(pb, gb),
-                "iou": M.np_iou(pb, gb),
-                **M.np_confusion_metrics(pb, gb),
-            }
+            if preds.shape[-1] == 1:
+                p = preds[i, ..., 0]
+                pb = (p > threshold).astype(np.uint8)
+                gb = (g > 0).astype(np.uint8)
+                entry = {
+                    "name": batch["names"][i] if "names" in batch else str(n),
+                    "dice": M.np_dice(pb, gb),
+                    "iou": M.np_iou(pb, gb),
+                    **M.np_confusion_metrics(pb, gb),
+                }
+            else:
+                # multi-class: argmax labels, macro-average the binary
+                # metrics over foreground classes (reference eval semantics
+                # extended — its scripts only wire the binary path)
+                p = preds[i].argmax(-1)
+                gi = g.astype(np.int64)
+                per_cls = []
+                for c in range(1, preds.shape[-1]):
+                    pc = (p == c).astype(np.uint8)
+                    gc = (gi == c).astype(np.uint8)
+                    if pc.sum() == 0 and gc.sum() == 0:
+                        continue
+                    per_cls.append(
+                        {"dice": M.np_dice(pc, gc), "iou": M.np_iou(pc, gc),
+                         **M.np_confusion_metrics(pc, gc)}
+                    )
+                keys = ["dice", "iou", "sensitivity", "specificity",
+                        "precision", "recall", "f1", "accuracy"]
+                entry = {
+                    "name": batch["names"][i] if "names" in batch else str(n),
+                    **{
+                        k: float(np.mean([e[k] for e in per_cls]))
+                        if per_cls else 1.0
+                        for k in keys
+                    },
+                }
+                pb, gb = p, gi  # for the npz dump below
             per_image.append(entry)
             if dump_dir:
                 os.makedirs(dump_dir, exist_ok=True)

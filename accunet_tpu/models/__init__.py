@@ -44,6 +44,7 @@ register("ACC_UNet")(ACC_UNet)
 register("ACC_UNet_Lite")(ACC_UNet_Lite)
 register("ACC_UNet_W")(ACC_UNet_W)
 register("UNext")(UNext)
+register("UNeXt")(UNext)  # exact factory spelling (train_model.py:389)
 register("UNext_S")(UNext_S)
 
 from accunet_tpu.models.unet import UNet_base
@@ -63,6 +64,7 @@ register("Unetpp")(UNetPlusPlus)
 from accunet_tpu.models.u_kan import UKAN
 
 register("UKAN")(UKAN)
+register("U-KAN")(UKAN)  # exact factory spelling (train_model.py:401)
 
 from accunet_tpu.models.tiny_unet import TinyUNet
 
@@ -86,16 +88,9 @@ from accunet_tpu.models.seg_fvit import SegViTfKAN
 register("SegViT_fKAN")(SegViTfKAN)
 
 
-def _sme_swin(**kw):
-    # SMESwinUnet wrapper semantics (nets/SMESwinUnet.py:28-47): Swin-Unet
-    # core at 224; SME external-attention refinements are exposed as
-    # nn.attention.ExternalAttention for composition.
-    from accunet_tpu.models.swin_unet import SwinUnet as _S
+from accunet_tpu.models.sme_swin_unet import SMESwinUnet
 
-    return _S(**kw)
-
-
-register("SMESwinUnet")(_sme_swin)
+register("SMESwinUnet")(SMESwinUnet)
 
 from accunet_tpu.models.knunet import KMUNet
 
@@ -113,6 +108,11 @@ register("TransUnet_fKAN")(
 )
 register("TransUNet_Vit_fKAN")(
     lambda **kw: TransUNet(backbone="ViT-B_16", mlp_type="fkan", **kw)
+)
+# TransUNet_KAN_fJNB (train_model.py:626, vit_seg_modeling_KAN_fJNB.py) — the
+# fKAN MLP here IS the fractional-Jacobi (fJNB) KAN, so the same constructor
+register("TransUNet_fJNB")(
+    lambda **kw: TransUNet(mlp_type="fkan", **kw)
 )
 
 from accunet_tpu.models.unext_cmrf import (

@@ -1,21 +1,36 @@
-"""SegMamba family: baseline + hybrid variants up to the flagship
-text-conditioned Spatial-Mamba model (2D NHWC).
+"""SegMamba family: baseline + the full hybrid ablation ladder up to the
+flagship text-conditioned Spatial-Mamba model (2D NHWC).
 
 Parity targets:
   * GSC gated spatial conv block (flagship nets/segmamba_hybrid_gsc_KAN_PE_
     ds_CrossAttn_HSLCA_SpatialMamba.py:926-970; same as nets/segmamba.py:91-133)
   * MambaEncoder — stem (1,7,7)/(1,2,2) conv + 3 IN+(1,2,2) downsamples;
     per stage GSC → blocks (flagship :971-1081)
-  * stage blocks, selectable per variant:
-      - 'tsmamba'  MambaLayer: LN→MDTA→res, LN→fKAN→res, LN→VSSM→res,
-        LN→fKAN→res (flagship :718-795)
-      - 'tmb'      TransformerMambaBlock with the double-residual wiring
-        (flagship :808-895)
-      - 'spatial'  SpatialMambaSliceBlock (flagship :897-925)
-  * SegMamba assembly — 5 UnetrBasicBlocks, optional HSLCA/TGDC text fusion
-    per skip, UnetrUpBlock chain, FinalKANRefine3D, UnetOutBlock main head,
-    3 deep-supervision heads upsampled trilinear→(bilinear at depth 1),
-    align_corners=False (flagship :1109-1451)
+  * TransformerMambaBlock — the shared double-residual hybrid block
+    (nets/segmamba_hybrid_gsc_KAN_PE_ds.py:453-578), parameterized over the
+    reference's ablation axes:
+      attn:  'mdta' TokenMDTA | 'window' Swin WindowAttention
+             (…_gsc_SWAttn.py:407-563)
+      ffn1:  'fkan' FKANMLP | 'simple_mlp' SimpleTokenMLP (…_gsc_MLP_PE_ds.py:55)
+      ffn2:  'fkan' | 'token_mlp' TokenMLP (…_gsc_rm_fkan.py:373-395)
+             | 'simple_mlp' | 'effkan' ConvKANFFN2D (…_KAN_PE_EffKan.py:374-486)
+             | 'cab' CAB channel-attention (…_gsc_CA.py:390-523, no ln4)
+      mixer: 'mamba' MambaVisionMixer | 'ss2d' TokenVSSM (…_gsc_vss.py:367-720)
+      spatial_fusion: dilated-dwconv fusion of scan maps (…_ds_SPATIAL.py:147)
+      flip_order: mamba-half first, then attention-half (…_KAN_PE_ds_flip.py:
+                  453-578 — same parameters, swapped execution order)
+  * stage blocks: 'tmb' (all non-SpatialMamba hybrids), 'spatial'
+    SpatialMambaSliceBlock (flagship :897-925), 'spatial_kan'
+    (…HSLCA_SpatialMamba_KAN.py + spatialmamba.py:428-), 'plain' baseline
+  * text fusion: 'film' SkipFiLM (…_ds_text.py:55-71, 4 skip sites),
+    'crossattn' CrossAttentionFusion (…_ds_CrossAttn.py:72-122, 4 sites),
+    'dual' DualCrossAttentionFusion threading updated text (…_Dual.py:149-250,
+    5 sites), 'tgdc' (4 sites), 'hslca' (5 sites incl. hidden)
+  * SegMamba assembly — 5 UnetrBasicBlocks, per-skip text fusion, UnetrUpBlock
+    chain, FinalKANRefine3D ('fkan' or 'simple_mlp' for MLP_PE), UnetOutBlock
+    main head, 3 deep-supervision heads upsampled align_corners=False
+    (flagship :1109-1451); `ds_in_output` mirrors each reference file's actual
+    return statement (some _ds files return only the main head)
   * nets/segmamba.py baseline — MambaLayer as plain token Mamba + MlpChannel
     stage tails
 
@@ -31,8 +46,17 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from accunet_tpu.nn.attention import HSLCAFusion, TGDCFusion, TokenMDTA
-from accunet_tpu.nn.kan import FKANMLP
+from accunet_tpu.nn.attention import (
+    CAB,
+    CrossAttentionFusion,
+    DualCrossAttentionFusion,
+    HSLCAFusion,
+    SkipFiLM,
+    TGDCFusion,
+    TokenMDTA,
+)
+from accunet_tpu.nn.kan import FKANMLP, KAN
+from accunet_tpu.nn.ss2d import SS2D
 from accunet_tpu.nn.ssm import MambaVisionMixer, SpatialMambaBlock
 from accunet_tpu.nn.unetr import (
     UnetOutBlock,
@@ -63,36 +87,155 @@ class GSC(nn.Module):
         return y + x
 
 
-class MambaLayerTS(nn.Module):
-    """Tri-oriented 'TSMamba' token block (flagship MambaLayer, :718-795)."""
+class TokenMLP(nn.Module):
+    """Plain token MLP, no internal norm (…_gsc_rm_fkan.py:373-395)."""
 
     dim: int
-    num_heads: int = 4
-    mlp_ratio: float = 4.0
-    d_state: int = 8
-    d_conv: int = 3
-    expand: int = 1
+    mlp_dim: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        b, h, w, c = x.shape
-        t = x.reshape(b, h * w, c)
-        mlp_dim = int(c * self.mlp_ratio)
+        y = nn.Dense(self.mlp_dim, dtype=self.dtype, name="fc1")(x)
+        y = jax.nn.gelu(y, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
 
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")(t)
-        t = TokenMDTA(c, self.num_heads, self.dtype, name="attn")(y) + t
-        t = FKANMLP(c, mlp_dim, self.dtype, name="ffn1")(t, train) + t
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln3")(t)
-        t = MambaVisionMixer(
-            c, self.d_state, self.d_conv, self.expand, dtype=self.dtype, name="vssm"
-        )(y) + t
-        t = FKANMLP(c, mlp_dim, self.dtype, name="ffn2")(t, train) + t
-        return t.reshape(b, h, w, c)
+
+class SimpleTokenMLP(nn.Module):
+    """LayerNorm + token MLP (…_gsc_MLP_PE_ds.py:55-114)."""
+
+    dim: int
+    mlp_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        y = nn.Dense(self.mlp_dim, dtype=self.dtype, name="fc1")(y)
+        y = jax.nn.gelu(y, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
+
+
+class ConvKANFFN2D(nn.Module):
+    """Efficient-KAN FFN: conv3x3 x2 → LN → KAN → dwconv3x3 → KAN → dwconv3x3
+    + residual from after the LN (…_KAN_PE_EffKan.py:374-486)."""
+
+    dim: int
+    mlp_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, n, c = x.shape
+        hw = int(round(n ** 0.5))
+        gelu = lambda t: jax.nn.gelu(t, approximate=False)
+
+        def to2d(t):
+            return t.reshape(b, hw, hw, c)
+
+        def totok(t):
+            return t.reshape(b, n, c)
+
+        y = to2d(x)
+        y = gelu(nn.Conv(c, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(y))
+        y = gelu(nn.Conv(c, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(y))
+        y = totok(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="post_conv_ln")(y)
+        res = y
+
+        y = KAN((c, self.mlp_dim, c), dtype=self.dtype, name="kan1")(
+            y.reshape(b * n, c)
+        ).reshape(b, n, c)
+        y = to2d(y)
+        y = gelu(
+            nn.Conv(
+                c, (3, 3), padding="SAME", feature_group_count=c,
+                dtype=self.dtype, name="dwconv1",
+            )(y)
+        )
+        y = totok(y)
+        y = KAN((c, self.mlp_dim, c), dtype=self.dtype, name="kan2")(
+            y.reshape(b * n, c)
+        ).reshape(b, n, c)
+        y = to2d(y)
+        y = gelu(
+            nn.Conv(
+                c, (3, 3), padding="SAME", feature_group_count=c,
+                dtype=self.dtype, name="dwconv2",
+            )(y)
+        )
+        return totok(y) + res
+
+
+class WindowTokenAttention(nn.Module):
+    """Swin window attention over square tokens (…_gsc_SWAttn.py:407-563)."""
+
+    dim: int
+    num_heads: int
+    window_size: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from accunet_tpu.models.swin_unet import (
+            WindowAttention,
+            window_partition,
+            window_reverse,
+        )
+
+        b, n, c = x.shape
+        hw = int(round(n ** 0.5))
+        ws = self.window_size
+        x2d = x.reshape(b, hw, hw, c)
+        wins = window_partition(x2d, ws).reshape(-1, ws * ws, c)
+        wins = WindowAttention(self.dim, ws, self.num_heads, dtype=self.dtype,
+                               name="inner")(wins, None)
+        x2d = window_reverse(wins.reshape(-1, ws, ws, c), ws, hw, hw)
+        return x2d.reshape(b, n, c)
+
+
+class TokenVSSM(nn.Module):
+    """VSSMBlock on square tokens: top branch Linear→DWConv→SiLU→SS2D→LN,
+    bottom Linear→SiLU, concat → Linear (…_gsc_vss.py:593-720)."""
+
+    dim: int
+    d_state: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, c = x.shape
+        hw = int(round(n ** 0.5))
+        x2d = x.reshape(b, hw, hw, c)
+        t = nn.Dense(c, dtype=self.dtype, name="top_linear")(x2d)
+        t = nn.Conv(
+            c, (3, 3), padding="SAME", feature_group_count=c,
+            dtype=self.dtype, name="top_dwconv",
+        )(t)
+        t = jax.nn.silu(t)
+        t = SS2D(c, d_state=self.d_state, dtype=self.dtype, name="top_ssm")(t)
+        t = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="top_norm")(t)
+        bot = jax.nn.silu(nn.Dense(c, dtype=self.dtype, name="bottom_linear")(x2d))
+        y = jnp.concatenate([t, bot], axis=-1)
+        y = nn.Dense(c, dtype=self.dtype, name="out_linear")(y)
+        return y.reshape(b, n, c)
+
+
+def _make_ffn(kind, dim, mlp_dim, dtype, name):
+    if kind == "fkan":
+        return FKANMLP(dim, mlp_dim, dtype, name=name)
+    if kind == "token_mlp":
+        return TokenMLP(dim, mlp_dim, dtype, name=name)
+    if kind == "simple_mlp":
+        return SimpleTokenMLP(dim, mlp_dim, dtype, name=name)
+    if kind == "effkan":
+        return ConvKANFFN2D(dim, mlp_dim, dtype, name=name)
+    raise ValueError(f"unknown ffn kind {kind!r}")
 
 
 class TransformerMambaBlock(nn.Module):
-    """Double-residual transformer+mamba block (flagship :808-895)."""
+    """Double-residual transformer+mamba block (…_KAN_PE_ds.py:453-578),
+    parameterized over the reference ablation axes (module docstring)."""
 
     dim: int
     num_heads: int = 4
@@ -100,6 +243,12 @@ class TransformerMambaBlock(nn.Module):
     d_state: int = 8
     d_conv: int = 3
     expand: int = 1
+    attn_type: str = "mdta"      # 'mdta' | 'window'
+    ffn1_type: str = "fkan"      # 'fkan' | 'simple_mlp'
+    ffn2_type: str = "fkan"      # 'fkan'|'token_mlp'|'simple_mlp'|'effkan'|'cab'
+    mixer_type: str = "mamba"    # 'mamba' | 'ss2d'
+    spatial_fusion: bool = False
+    flip_order: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -107,15 +256,50 @@ class TransformerMambaBlock(nn.Module):
         b, h, w, c = x.shape
         x_in = x.reshape(b, h * w, c)
         mlp_dim = int(c * self.mlp_ratio)
-        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
+        dt = self.dtype
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=dt, name=name)
 
-        t = TokenMDTA(c, self.num_heads, self.dtype, name="attn")(ln("ln1")(x_in)) + x_in
-        u = FKANMLP(c, mlp_dim, self.dtype, name="ffn1")(ln("ln2")(t), train) + t
-        x_tr = x_in + u
-        m = MambaVisionMixer(
-            c, self.d_state, self.d_conv, self.expand, dtype=self.dtype, name="vssm"
-        )(ln("ln3")(x_tr)) + x_tr
-        n = FKANMLP(c, mlp_dim, self.dtype, name="ffn2")(ln("ln4")(m), train) + m
+        if self.attn_type == "window":
+            attn = WindowTokenAttention(c, self.num_heads, dtype=dt, name="attn")
+        else:
+            attn = TokenMDTA(c, self.num_heads, dt, name="attn")
+        ffn1 = _make_ffn(self.ffn1_type, c, mlp_dim, dt, "ffn1")
+        if self.mixer_type == "ss2d":
+            mixer = TokenVSSM(c, self.d_state, dtype=dt, name="vssm")
+            run_mixer = lambda t: mixer(t)
+        else:
+            mixer = MambaVisionMixer(
+                c, self.d_state, self.d_conv, self.expand,
+                spatial_fusion=self.spatial_fusion, dtype=dt, name="vssm",
+            )
+            run_mixer = lambda t: mixer(t, spatial_hw=(h, w))
+
+        def attn_half(t):
+            """ln1 → attn → res; ln2 → ffn1 → res (transformer half)."""
+            a = attn(ln("ln1")(t)) + t
+            return ffn1(ln("ln2")(a), train) + a
+
+        def mamba_half(t):
+            """ln3 → mixer → res; then ffn2 ('cab' replaces ln4+ffn2 with a
+            conv channel-attention block, …_gsc_CA.py TMB diff)."""
+            m = run_mixer(ln("ln3")(t)) + t
+            if self.ffn2_type == "cab":
+                m2d = m.reshape(b, h, w, c)
+                cab = CAB(c, dtype=dt, name="cab")(m2d).reshape(b, h * w, c)
+                return cab + m
+            ffn2 = _make_ffn(self.ffn2_type, c, mlp_dim, dt, "ffn2")
+            return ffn2(ln("ln4")(m), train) + m
+
+        if self.flip_order:
+            # _flip variant: mamba half first, then the attention half —
+            # identical parameters, swapped execution (…_KAN_PE_ds_flip.py)
+            u = mamba_half(x_in)
+            x_tr = x_in + u
+            n = attn_half(x_tr)
+        else:
+            u = attn_half(x_in)
+            x_tr = x_in + u
+            n = mamba_half(x_tr)
         out = x_tr + n
         return out.reshape(b, h, w, c)
 
@@ -153,25 +337,19 @@ class MlpChannel(nn.Module):
         return nn.Conv(self.hidden_size, (1, 1), dtype=self.dtype, name="fc2")(y)
 
 
-_BLOCKS = {
-    "spatial": lambda dim, dt, name: SpatialMambaBlock(dim, dtype=dt, name=name),
-    "tsmamba": lambda dim, dt, name: MambaLayerTS(dim, dtype=dt, name=name),
-    "tmb": lambda dim, dt, name: TransformerMambaBlock(dim, dtype=dt, name=name),
-    "plain": lambda dim, dt, name: PlainMambaLayer(dim, dtype=dt, name=name),
-}
-
-
 class MambaEncoder(nn.Module):
     in_chans: int = 1
     depths: Sequence[int] = (2, 2, 2, 2)
     dims: Sequence[int] = (48, 96, 192, 384)
-    block: str = "spatial"
+    block: str = "spatial"  # 'tmb' | 'spatial' | 'spatial_kan' | 'plain'
+    block_kwargs: dict | None = None  # TransformerMambaBlock axes
     use_gsc: bool = True
     stage_mlp: bool = False  # baseline segmamba's per-stage norm+MlpChannel
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        bkw = dict(self.block_kwargs or {})
         outs = []
         for i in range(4):
             if i == 0:
@@ -188,8 +366,21 @@ class MambaEncoder(nn.Module):
             if self.use_gsc:
                 x = GSC(self.dims[i], self.dtype, name=f"gscs_{i}")(x)
             for d in range(self.depths[i]):
-                blk = _BLOCKS[self.block](self.dims[i], self.dtype, f"stages_{i}_{d}")
-                x = blk(x) if self.block == "spatial" else blk(x, train)
+                name = f"stages_{i}_{d}"
+                if self.block == "spatial":
+                    x = SpatialMambaBlock(self.dims[i], dtype=self.dtype, name=name)(x)
+                elif self.block == "spatial_kan":
+                    x = SpatialMambaBlock(
+                        self.dims[i], mlp_type="kan", dtype=self.dtype, name=name
+                    )(x)
+                elif self.block == "plain":
+                    x = PlainMambaLayer(self.dims[i], dtype=self.dtype, name=name)(
+                        x, train
+                    )
+                else:
+                    x = TransformerMambaBlock(
+                        self.dims[i], dtype=self.dtype, name=name, **bkw
+                    )(x, train)
             if self.stage_mlp:
                 x = instance_norm(x)
                 x = MlpChannel(self.dims[i], 2 * self.dims[i], self.dtype,
@@ -207,12 +398,14 @@ class SegMamba(nn.Module):
     feat_size: Sequence[int] = (48, 96, 192, 384)
     hidden_size: int = 768
     block: str = "spatial"           # encoder stage block type
+    block_kwargs: dict | None = None  # TransformerMambaBlock ablation axes
     use_gsc: bool = True
     stage_mlp: bool = False
-    text_fusion: str | None = "hslca"  # None | 'hslca' | 'tgdc'
+    # None | 'hslca' | 'tgdc' | 'film' | 'crossattn' | 'dual'
+    text_fusion: str | None = "hslca"
     deep_supervision: bool = True
-    final_kan_refine: bool = True
-    ds_in_output: bool = False  # flagship returns only main (ds heads exist)
+    final_refine: str | None = "fkan"  # None | 'fkan' | 'simple_mlp'
+    ds_in_output: bool = False  # True only where the reference returns the tuple
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -222,20 +415,39 @@ class SegMamba(nn.Module):
         f = list(self.feat_size)
 
         outs = MambaEncoder(
-            self.in_chans, self.depths, f, self.block, self.use_gsc,
-            self.stage_mlp, dt, name="vit",
+            self.in_chans, self.depths, f, self.block, self.block_kwargs,
+            self.use_gsc, self.stage_mlp, dt, name="vit",
         )(x, train)
 
-        def fuse(feat, idx_name):
-            if self.text_fusion == "hslca":
-                return HSLCAFusion(feat.shape[-1], dtype=dt, name=f"hslca{idx_name}")(
-                    feat, text_tokens
+        # fusion sites per variant: film/crossattn/tgdc fuse the 4 encoder
+        # skips only; hslca/dual also fuse the hidden bottleneck (see each
+        # reference file's forward — e.g. CrossAttn:1098-1117, HSLCA:1305-1327)
+        text = text_tokens
+
+        def fuse(feat, idx_name, is_hidden=False):
+            nonlocal text
+            tf = self.text_fusion
+            if tf is None or text is None:
+                return feat
+            if tf in ("film", "crossattn", "tgdc") and is_hidden:
+                return feat
+            cdim = feat.shape[-1]
+            if tf == "hslca":
+                return HSLCAFusion(cdim, dtype=dt, name=f"hslca{idx_name}")(feat, text)
+            if tf == "tgdc":
+                return TGDCFusion(cdim, dtype=dt, name=f"tgdc{idx_name}")(feat, text)
+            if tf == "film":
+                return SkipFiLM(cdim, dtype=dt, name=f"skip_film{idx_name}")(feat, text)
+            if tf == "crossattn":
+                return CrossAttentionFusion(cdim, dtype=dt, name=f"cross_attn{idx_name}")(
+                    feat, text
                 )
-            if self.text_fusion == "tgdc":
-                return TGDCFusion(feat.shape[-1], dtype=dt, name=f"tgdc{idx_name}")(
-                    feat, text_tokens
-                )
-            return feat
+            if tf == "dual":
+                feat, text = DualCrossAttentionFusion(
+                    cdim, dtype=dt, name=f"dual_ca{idx_name}"
+                )(feat, text)
+                return feat
+            raise ValueError(f"unknown text_fusion {tf!r}")
 
         enc1 = UnetrBasicBlock(self.in_chans, f[0], 3, 1, dt, name="encoder1")(x)
         enc1 = fuse(enc1, "1")
@@ -248,7 +460,7 @@ class SegMamba(nn.Module):
         enc_hidden = UnetrBasicBlock(f[3], self.hidden_size, 3, 1, dt, name="encoder5")(
             outs[3]
         )
-        enc_hidden = fuse(enc_hidden, "_hidden")
+        enc_hidden = fuse(enc_hidden, "_hidden", is_hidden=True)
 
         dec3 = UnetrUpBlock(self.hidden_size, f[3], 3, dt, name="decoder5")(
             enc_hidden, enc4
@@ -258,13 +470,18 @@ class SegMamba(nn.Module):
         dec0 = UnetrUpBlock(f[1], f[0], 3, dt, name="decoder2")(dec1, enc1)
         out = UnetrBasicBlock(f[0], f[0], 3, 1, dt, name="decoder1")(dec0)
 
-        if self.final_kan_refine:
+        if self.final_refine is not None:
             b, h, w, c = out.shape
-            out = (
-                FKANMLP(c, 4 * c, dt, name="final_refine_kan_mlp")(
-                    out.reshape(b, h * w, c), train
-                ).reshape(b, h, w, c)
-            )
+            tok = out.reshape(b, h * w, c)
+            if self.final_refine == "simple_mlp":
+                # MLP_PE variant's FinalKANRefine3D holds a SimpleTokenMLP
+                # under the same attribute name (…_gsc_MLP_PE_ds.py:754-781)
+                tok = SimpleTokenMLP(c, 4 * c, dt, name="final_refine_kan_mlp")(
+                    tok, train
+                )
+            else:
+                tok = FKANMLP(c, 4 * c, dt, name="final_refine_kan_mlp")(tok, train)
+            out = tok.reshape(b, h, w, c)
 
         out_main = UnetOutBlock(self.out_chans, dt, name="out")(out)
 
@@ -283,8 +500,8 @@ class SegMamba(nn.Module):
                 ds3.astype(jnp.float32),
             )
         elif self.deep_supervision:
-            # heads exist (parameters) but only main is returned — matches the
-            # flagship's shipped forward (:1436-1451)
+            # heads exist (parameters) but only main is returned — matches
+            # e.g. the flagship's and _KAN_PE_ds's shipped forwards
             UnetOutBlock(self.out_chans, dt, name="ds_head3")(dec3)
             UnetOutBlock(self.out_chans, dt, name="ds_head2")(dec2)
             UnetOutBlock(self.out_chans, dt, name="ds_head1")(dec1)
@@ -293,31 +510,65 @@ class SegMamba(nn.Module):
 
 # -------------------------------------------------------- variant registry
 
+_NO_EXTRAS = dict(text_fusion=None, deep_supervision=False, final_refine=None)
+
 VARIANTS = {
-    # model_name (train_model.py factory keys) -> constructor kwargs
-    "Segmamba": dict(block="plain", use_gsc=False, stage_mlp=True,
-                     text_fusion=None, deep_supervision=False,
-                     final_kan_refine=False),
-    "Segmamba_hybrid": dict(block="tmb", use_gsc=False, text_fusion=None,
-                            deep_supervision=False, final_kan_refine=False),
-    "Segmamba_hybrid_gsc": dict(block="tmb", text_fusion=None,
-                                deep_supervision=False, final_kan_refine=False),
-    "Segmamba_hybrid_gsc_KAN_PE": dict(block="tmb", text_fusion=None,
-                                       deep_supervision=False,
-                                       final_kan_refine=False),
-    "Segmamba_hybrid_gsc_KAN_PE_ds": dict(block="tmb", text_fusion=None,
-                                          ds_in_output=True,
-                                          final_kan_refine=False),
-    "Segmamba_hybrid_gsc_KAN_PE_ds_CrossAttn_HSLCA": dict(
-        block="tsmamba", text_fusion="hslca", ds_in_output=True,
-        final_kan_refine=False),
+    # model_name (train_model.py factory keys :351-640, incl. the commented
+    # ablation rungs) -> constructor kwargs. ds_in_output mirrors each
+    # reference file's actual return statement.
+    "Segmamba": dict(block="plain", use_gsc=False, stage_mlp=True, **_NO_EXTRAS),
+    "Segmamba_hybrid": dict(block="tmb", use_gsc=False, **_NO_EXTRAS),
+    "Segmamba_hybrid_gsc": dict(block="tmb", **_NO_EXTRAS),
+    "Segmamba_hybrid_gsc_CA": dict(
+        block="tmb", block_kwargs=dict(ffn2_type="cab"), **_NO_EXTRAS),
+    "Segmamba_hybrid_gsc_SWAttn": dict(
+        block="tmb", block_kwargs=dict(attn_type="window"), **_NO_EXTRAS),
+    "Segmamba_hybrid_gsc_VSS": dict(
+        block="tmb", block_kwargs=dict(mixer_type="ss2d"), **_NO_EXTRAS),
+    "Segmamba_hybrid_gsc_rm_fkan": dict(
+        block="tmb", block_kwargs=dict(ffn2_type="token_mlp"), **_NO_EXTRAS),
+    "Segmamba_hybrid_gsc_ds": dict(
+        block="tmb", text_fusion=None, final_refine=None, ds_in_output=True),
+    "Segmamba_hybrid_gsc_KAN_PE": dict(
+        block="tmb", text_fusion=None, deep_supervision=False),
+    "Segmamba_hybrid_gsc_KAN_PE_rm_fkan": dict(
+        block="tmb", block_kwargs=dict(ffn2_type="token_mlp"),
+        text_fusion=None, deep_supervision=False),
+    "Segmamba_hybrid_gsc_KAN_PE_rm_fkan_ds": dict(
+        block="tmb", block_kwargs=dict(ffn2_type="token_mlp"),
+        text_fusion=None, ds_in_output=True),
+    "segmamba_hybrid_gsc_KAN_PE_EffKan": dict(
+        block="tmb", block_kwargs=dict(ffn2_type="effkan"),
+        text_fusion=None, deep_supervision=False),
+    "Segmamba_hybrid_gsc_KAN_PE_ds": dict(block="tmb", text_fusion=None),
+    "Segmamba_hybrid_gsc_KAN_PE_ds_flip": dict(
+        block="tmb", block_kwargs=dict(flip_order=True),
+        text_fusion=None, ds_in_output=True),
+    "Segmamba_hybrid_gsc_KAN_PE_ds_SPATIAL": dict(
+        block="tmb", block_kwargs=dict(spatial_fusion=True),
+        text_fusion=None, ds_in_output=True),
+    "Segmamba_hybrid_gsc_MLP_PE_ds": dict(
+        block="tmb", block_kwargs=dict(ffn1_type="simple_mlp", ffn2_type="simple_mlp"),
+        text_fusion=None, final_refine="simple_mlp"),
+    "Segmamba_hybrid_gsc_KAN_PE_ds_text": dict(block="tmb", text_fusion="film"),
+    "Segmamba_hybrid_gsc_KAN_PE_ds_CrossAttn": dict(
+        block="tmb", text_fusion="crossattn"),
     "Segmamba_hybrid_gsc_KAN_PE_ds_CrossAttn_TGDC": dict(
-        block="tsmamba", text_fusion="tgdc", ds_in_output=True,
-        final_kan_refine=False),
+        block="tmb", text_fusion="tgdc"),
+    "Segmamba_hybrid_gsc_KAN_PE_ds_CrossAttn_HSLCA": dict(
+        block="tmb", text_fusion="hslca", ds_in_output=True),
+    "Segmamba_hybrid_gsc_KAN_PE_ds_CrossAttn_Dual": dict(
+        block="tmb", text_fusion="dual", ds_in_output=True),
+    "Segmamba_hybrid_gsc_KAN_PE_ds_CrossAttn_SpatialMamba": dict(
+        block="spatial", text_fusion="crossattn", ds_in_output=True),
+    "Segmamba_hybrid_gsc_KAN_PE_ds_CrossAttn_Dual_SpatialMamba": dict(
+        block="spatial", text_fusion="dual", ds_in_output=True),
     "Segmamba_hybrid_gsc_KAN_PE_ds_CrossAttn_HSLCA_SpatialMamba": dict(
         block="spatial", text_fusion="hslca"),
+    "Segmamba_hybrid_gsc_KAN_PE_ds_CrossAttn_HSLCA_SpatialMamba_KAN": dict(
+        block="spatial_kan", text_fusion="hslca"),
     "Segmamba_hybrid_gsc_KAN_PE_ds_CrossAttn_HSLCA_SpatialMamba_no_text": dict(
-        block="spatial", text_fusion=None),
+        block="spatial", text_fusion=None, ds_in_output=True),
 }
 
 

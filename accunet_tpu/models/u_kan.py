@@ -47,6 +47,9 @@ class DWBnRelu(nn.Module):
 class KANLayer(nn.Module):
     dim: int
     dtype: Dtype = jnp.float32
+    # 'silu' (u_kan, archs/kan.py) | 'rkan' (UNext_CMRF_GS_wavelet_rkan.py,
+    # whose KANLinear comes from archs/kan_r.py with a JacobiRKAN(3) base)
+    base_activation: str = "silu"
 
     @nn.compact
     def __call__(self, x, h, w, train: bool = False):
@@ -54,7 +57,8 @@ class KANLayer(nn.Module):
 
         def kan_fc(name):
             return KANLinear(
-                self.dim, self.dim, base_activation="silu", dtype=self.dtype, name=name
+                self.dim, self.dim, base_activation=self.base_activation,
+                dtype=self.dtype, name=name,
             )
 
         x = kan_fc("fc1")(x.reshape(b * n, c)).reshape(b, n, c)
@@ -69,11 +73,14 @@ class KANLayer(nn.Module):
 class KANBlock(nn.Module):
     dim: int
     dtype: Dtype = jnp.float32
+    base_activation: str = "silu"
 
     @nn.compact
     def __call__(self, x, h, w, train: bool = False):
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-        return x + KANLayer(self.dim, self.dtype, name="layer")(y, h, w, train)
+        return x + KANLayer(
+            self.dim, self.dtype, self.base_activation, name="layer"
+        )(y, h, w, train)
 
 
 class ConvLayer(nn.Module):

@@ -180,7 +180,10 @@ class ChannelTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, en, train: bool = False):
-        n_patches = (self.img_size // 16) ** 2
+        # every level patchifies to the same token count; for UCTransNet
+        # (img 112-at-level-1, patches 16/8/4/2) this is 49, for SMESwinUnet's
+        # mcct (img 112, patches 112/56/28/14) it is 1 token per level
+        n_patches = (self.img_size // self.patch_sizes[0]) ** 2
         embs = []
         for i, (x, p, c) in enumerate(zip(en, self.patch_sizes, self.channel_num)):
             embs.append(

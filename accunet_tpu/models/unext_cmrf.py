@@ -55,6 +55,9 @@ class UNextCMRF(nn.Module):
     decoder: str = "conv"
     skip: str = "add"
     pool: str = "max"
+    # 'shift' (UNeXt shifted-MLP) | 'rkan' (rational-KAN token blocks,
+    # UNext_CMRF_GS_wavelet_rkan.py:437-482 — KANBlocks with kan_r KANLinear)
+    token_block: str = "shift"
     stem_dims: Sequence[int] = (16, 32, 128)
     embed_dims: Sequence[int] = (128, 160, 256)
     final_sigmoid: bool = True
@@ -90,6 +93,15 @@ class UNextCMRF(nn.Module):
                 dtype=dt, name=name,
             )
 
+        def token_blk(tokens, hh, ww, dim, name):
+            if self.token_block == "rkan":
+                from accunet_tpu.models.u_kan import KANBlock
+
+                return KANBlock(dim, dt, base_activation="rkan", name=name)(
+                    tokens, hh, ww, train
+                )
+            return ShiftedBlock(dim, 1.0, dt, name=name)(tokens, hh, ww, train)
+
         def pool_act(y, ebn_name):
             if self.pool == "wavelet":
                 return jax.nn.relu(haar_wavelet_pool2d(y))
@@ -105,7 +117,7 @@ class UNextCMRF(nn.Module):
         t3 = out
 
         tok, h, w = OverlapPatchEmbed(e1, 3, 2, dt, name="patch_embed3")(out)
-        tok = ShiftedBlock(e1, 1.0, dt, name="block1_0")(tok, h, w, train)
+        tok = token_blk(tok, h, w, e1, "block1_0")
         tok = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm3")(tok)
         t4 = tok.reshape(tok.shape[0], h, w, e1)
         b = t4.shape[0]
@@ -129,7 +141,7 @@ class UNextCMRF(nn.Module):
             g = nn.Conv(e2, (1, 1), use_bias=False, dtype=dt, name="g_in_proj")(gs)
             g = bn("g_in_bn")(g)
             gtok = g.reshape(b, h4 * w4, e2)
-            gtok = ShiftedBlock(e2, 1.0, dt, name="block2_0")(gtok, h4, w4, train)
+            gtok = token_blk(gtok, h4, w4, e2, "block2_0")
             gtok = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm4_gs")(gtok)
             g = gtok.reshape(b, h4, w4, e2)
             g = nn.Conv(
@@ -143,7 +155,7 @@ class UNextCMRF(nn.Module):
             }
         else:
             tok, h4, w4 = OverlapPatchEmbed(e2, 3, 2, dt, name="patch_embed4")(t4)
-            tok = ShiftedBlock(e2, 1.0, dt, name="block2_0")(tok, h4, w4, train)
+            tok = token_blk(tok, h4, w4, e2, "block2_0")
             tok = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm4")(tok)
             bot = tok.reshape(b, h4, w4, e2)
 
@@ -227,7 +239,7 @@ class UNextCMRF(nn.Module):
         y = fuse_skip(y, t4, 4, bot)
         xh = y
         tok = y.reshape(b, y.shape[1] * y.shape[2], e1)
-        tok = ShiftedBlock(e1, 1.0, dt, name="dblock1_0")(tok, y.shape[1], y.shape[2], train)
+        tok = token_blk(tok, y.shape[1], y.shape[2], e1, "dblock1_0")
         tok = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="dnorm3")(tok)
         y = tok.reshape(y.shape)
 
@@ -235,7 +247,7 @@ class UNextCMRF(nn.Module):
         y = fuse_skip(y, t3, 3, xh)
         xh = y
         tok = y.reshape(b, y.shape[1] * y.shape[2], e0)
-        tok = ShiftedBlock(e0, 1.0, dt, name="dblock2_0")(tok, y.shape[1], y.shape[2], train)
+        tok = token_blk(tok, y.shape[1], y.shape[2], e0, "dblock2_0")
         tok = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="dnorm4")(tok)
         y = tok.reshape(y.shape)
 
@@ -277,6 +289,17 @@ VARIANTS = {
     "UNext_CMRF_PP": dict(encoder="cmrf", skip="dense"),  # nested UNet++ skips
     "UNext_CMRF_hd": dict(encoder="cmrf"),  # pairs with hausdorff loss
     "UNext_CMRF_GS_Wavelet_hd": dict(encoder="cmrf", skip="gs", pool="wavelet"),
+    # combo names from the train_model.py factory (:420-453); the encoder
+    # class of each reference file is set by an import alias
+    # (e.g. `from nets.archs.BSDN import CMRF_BSRB as CMRF`)
+    "UNext_CMRF_GAB_wavelet": dict(encoder="cmrf", skip="gab", pool="wavelet"),
+    "UNext_CMRF_GAB_wavelet_OD": dict(encoder="cmrf_od", skip="gab", pool="wavelet"),
+    "UNext_CMRF_GS_Wavelet_OD": dict(encoder="cmrf_od", skip="gs", pool="wavelet"),
+    "UNext_CMRF_BS_GS_Wavelet": dict(encoder="cmrf_bs", skip="gs", pool="wavelet"),
+    "UNext_CMRF_BSRB_GS": dict(encoder="cmrf_bsrb", skip="gs"),
+    "UNext_CMRF_BSRB_GS_Wavelet": dict(encoder="cmrf_bsrb", skip="gs", pool="wavelet"),
+    "UNext_CMRF_GS_Wavelet_rKAN": dict(
+        encoder="cmrf", skip="gs", pool="wavelet", token_block="rkan"),
 }
 
 

@@ -171,11 +171,29 @@ class HANCLayer(nn.Module):
             )
             return out.astype(t.dtype)
 
+        # HBM-traffic-optimal evaluation (the pyramid dominated the model's
+        # bytes: 810 of 1312 MB/img on v5e before this):
+        #  * hierarchical pooling — pool 2^i from 2^(i-1) (exact for
+        #    power-of-2 windows), so x is read once per pool kind instead of
+        #    k-1 times at full resolution
+        #  * telescoped accumulation — sum the mixed branches coarsest-first,
+        #    upsampling 2x per level, so every add except the last runs at
+        #    the LOW resolution and only one full-res add remains
+        avg_maps, max_maps = [], []
+        a = m = x
+        for _ in range(1, k):
+            a = avg_pool2d(a, 2)
+            m = max_pool2d(m, 2)
+            avg_maps.append(a)
+            max_maps.append(m)
+
+        acc = None
+        for i in range(k - 1, 0, -1):  # coarsest scale first
+            term = mix(avg_maps[i - 1], i) + mix(max_maps[i - 1], k - 1 + i)
+            acc = term if acc is None else term + upsample_nearest(acc, 2)
         y = mix(x, 0)
-        for i in range(1, k):
-            s = 2 ** i
-            y = y + upsample_nearest(mix(avg_pool2d(x, s), i), s)
-            y = y + upsample_nearest(mix(max_pool2d(x, s), k - 1 + i), s)
+        if acc is not None:
+            y = y + upsample_nearest(acc, 2)
         y = y + bias.astype(y.dtype)
         return lrelu(batch_norm(y, train, self.dtype))
 
@@ -263,7 +281,11 @@ class _MLFCFusedConv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xs, train: bool = False):
+    def __call__(self, ins, train: bool = False):
+        """`ins[src]`: source src's map already avg-pooled to this level's
+        resolution for src <= lvl (the caller pools each source ONCE,
+        hierarchically, and shares the pyramid across all four levels), and
+        at native resolution for src > lvl (mixed low-res, then upsampled)."""
         filts = list(self.filts)
         lvl = self.lvl
         kernel, bias = _Conv1x1Params(sum(filts), filts[lvl], name="conv1")()
@@ -273,11 +295,8 @@ class _MLFCFusedConv(nn.Module):
             offs.append(offs[-1] + f)
         y = None
         for src in range(4):
-            wj = w[offs[src] : offs[src + 1]].astype(xs[src].dtype)
-            t = xs[src]
-            if src <= lvl:
-                for _ in range(lvl - src):  # pool first (cheaper), then matmul
-                    t = avg_pool2d(t, 2)
+            t = ins[src]
+            wj = w[offs[src] : offs[src + 1]].astype(t.dtype)
             term = jax.lax.dot_general(
                 t, wj, (((t.ndim - 1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -317,10 +336,24 @@ class MLFC(nn.Module):
         filts = (f1, f2, f3, f4)
 
         for i in range(self.lenn):
+            # hierarchical avg-pool pyramid per source, shared by all levels
+            # (each source map is read once at full resolution instead of
+            # once per destination level)
+            pyr = []
+            for src in range(4):
+                maps = [xs[src]]
+                for _ in range(3 - src):
+                    maps.append(avg_pool2d(maps[-1], 2))
+                pyr.append(maps)
+
             fused = []
             for lvl in range(4):
+                ins = [
+                    pyr[src][lvl - src] if src <= lvl else xs[src]
+                    for src in range(4)
+                ]
                 y = _MLFCFusedConv(filts, lvl, self.dtype, name=f"cnv_blks{lvl + 1}_{i}")(
-                    xs, train
+                    ins, train
                 )
                 y = batch_norm(y, train, self.dtype, name=f"bns{lvl + 1}_{i}")
                 fused.append(lrelu(y))

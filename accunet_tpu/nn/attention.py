@@ -173,6 +173,182 @@ class HSLCAFusion(nn.Module):
         return fused.reshape(b, h, w, c)
 
 
+class TorchMultiheadAttention(nn.Module):
+    """Softmax multi-head attention with torch ``nn.MultiheadAttention``
+    parameterization (packed in_proj for q/k/v + out_proj), batch_first.
+
+    Used by the CrossAttn/Dual text-fusion variants, which call
+    ``nn.MultiheadAttention(embed_dim, num_heads, batch_first=True)`` AFTER
+    their own q/k/v projections (nets/segmamba_hybrid_gsc_KAN_PE_ds_CrossAttn.py:
+    72-122) — the double projection is a reference quirk kept for parity."""
+
+    embed_dim: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        e, heads = self.embed_dim, self.num_heads
+        hd = e // heads
+        in_proj_weight = self.param(
+            "in_proj_weight", nn.initializers.xavier_uniform(), (3 * e, e), jnp.float32
+        )
+        in_proj_bias = self.param(
+            "in_proj_bias", nn.initializers.zeros, (3 * e,), jnp.float32
+        )
+        w = in_proj_weight.astype(q.dtype)
+        bias = in_proj_bias.astype(q.dtype)
+        q = q @ w[:e].T + bias[:e]
+        k = k @ w[e : 2 * e].T + bias[e : 2 * e]
+        v = v @ w[2 * e :].T + bias[2 * e :]
+
+        def split(t):
+            return t.reshape(t.shape[0], t.shape[1], heads, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) / jnp.sqrt(
+            jnp.asarray(hd, q.dtype)
+        )
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(q.shape[0], -1, e)
+        return nn.Dense(e, dtype=self.dtype, name="out_proj")(out)
+
+
+class SkipFiLM(nn.Module):
+    """FiLM conditioning of a skip feature map on a pooled text embedding:
+    x*(1+gamma(t)) + beta(t) (nets/segmamba_hybrid_gsc_KAN_PE_ds_text.py:55-71).
+    The reference's text encoder mean-pools tokens to (B,768) (:29-53); a
+    (B,T,768) input is pooled here for the same effect."""
+
+    channels: int
+    text_dim: int = 768
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, text):
+        if text is None:
+            return x
+        if text.ndim == 3:
+            text = text.mean(axis=1)
+        gamma = nn.Dense(self.channels, dtype=self.dtype, name="gamma")(text)
+        beta = nn.Dense(self.channels, dtype=self.dtype, name="beta")(text)
+        gamma = gamma[:, None, None, :]
+        beta = beta[:, None, None, :]
+        return x * (1 + gamma) + beta
+
+
+class CrossAttentionFusion(nn.Module):
+    """Image←text cross attention over flattened tokens with residual
+    (nets/segmamba_hybrid_gsc_KAN_PE_ds_CrossAttn.py:72-122)."""
+
+    img_dim: int
+    text_dim: int = 768
+    num_heads: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, text_tokens):
+        if text_tokens is None:
+            return x
+        b, h, w, c = x.shape
+        tok = x.reshape(b, h * w, c)
+        xi = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_img")(tok)
+        t = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_txt")(text_tokens)
+        q = nn.Dense(self.img_dim, dtype=self.dtype, name="q_proj")(xi)
+        k = nn.Dense(self.img_dim, dtype=self.dtype, name="k_proj")(t)
+        v = nn.Dense(self.img_dim, dtype=self.dtype, name="v_proj")(t)
+        out = TorchMultiheadAttention(
+            self.img_dim, self.num_heads, self.dtype, name="attn"
+        )(q, k, v)
+        out = xi + nn.Dense(self.img_dim, dtype=self.dtype, name="out_proj")(out)
+        return out.reshape(b, h, w, c)
+
+
+class DualCrossAttentionFusion(nn.Module):
+    """Bidirectional cross attention: image←text then text←image, threading
+    the updated text forward (nets/..._ds_CrossAttn_Dual.py:149-250).
+    Returns (fused_image, updated_text)."""
+
+    img_dim: int
+    text_dim: int = 768
+    num_heads: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, text_tokens):
+        if text_tokens is None:
+            return x, text_tokens
+        b, h, w, c = x.shape
+        img = x.reshape(b, h * w, c)
+
+        xi = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_img1")(img)
+        t1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_txt1")(text_tokens)
+        q = nn.Dense(self.img_dim, dtype=self.dtype, name="q_img")(xi)
+        k = nn.Dense(self.img_dim, dtype=self.dtype, name="k_txt")(t1)
+        v = nn.Dense(self.img_dim, dtype=self.dtype, name="v_txt")(t1)
+        img_out = TorchMultiheadAttention(
+            self.img_dim, self.num_heads, self.dtype, name="attn_img_to_txt"
+        )(q, k, v)
+        img = img + nn.Dense(self.img_dim, dtype=self.dtype, name="out_img")(img_out)
+
+        t2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_txt2")(text_tokens)
+        xi2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_img2")(img)
+        qt = nn.Dense(self.text_dim, dtype=self.dtype, name="q_txt")(t2)
+        kt = nn.Dense(self.text_dim, dtype=self.dtype, name="k_img")(xi2)
+        vt = nn.Dense(self.text_dim, dtype=self.dtype, name="v_img")(xi2)
+        txt_out = TorchMultiheadAttention(
+            self.text_dim, self.num_heads, self.dtype, name="attn_txt_to_img"
+        )(qt, kt, vt)
+        text_tokens = text_tokens + nn.Dense(
+            self.text_dim, dtype=self.dtype, name="out_txt"
+        )(txt_out)
+        return img.reshape(b, h, w, c), text_tokens
+
+
+class ChannelAttention(nn.Module):
+    """Global-pool → conv1x1 squeeze → ReLU → conv1x1 → sigmoid channel scale
+    (nets/segmamba_hybrid_gsc_CA.py:373-388, ChannelAttention3D with D=1)."""
+
+    num_feat: int
+    squeeze_factor: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = x.mean(axis=(1, 2), keepdims=True)
+        y = nn.Conv(
+            max(1, self.num_feat // self.squeeze_factor), (1, 1), dtype=self.dtype,
+            name="squeeze",
+        )(y)
+        y = jax.nn.relu(y)
+        y = nn.Conv(self.num_feat, (1, 1), dtype=self.dtype, name="expand")(y)
+        return x * jax.nn.sigmoid(y)
+
+
+class CAB(nn.Module):
+    """Conv channel-attention block: 3x3 conv → GELU → 3x3 conv → channel
+    attention (nets/segmamba_hybrid_gsc_CA.py:390-443, non-light path with
+    (1,3,3) kernels at D=1; squeeze_factor=30, compress_ratio=3)."""
+
+    num_feat: int
+    compress_ratio: int = 3
+    squeeze_factor: int = 30
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        mid = max(1, self.num_feat // self.compress_ratio)
+        y = nn.Conv(mid, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(x)
+        y = jax.nn.gelu(y, approximate=False)
+        y = nn.Conv(
+            self.num_feat, (3, 3), padding="SAME", dtype=self.dtype, name="conv2"
+        )(y)
+        return ChannelAttention(
+            self.num_feat, self.squeeze_factor, self.dtype, name="ca"
+        )(y)
+
+
 class TGDC(nn.Module):
     dim: int
     num_filters: int = 4

@@ -56,16 +56,46 @@ class DenseParams(nn.Module):
         return kernel, bias
 
 
+class SpatialStateFusion(nn.Module):
+    """Alpha-weighted sum of depthwise 3x3 convs at dilations 1/3/5 with
+    zero padding, applied to the scan output maps inside the SPATIAL variant
+    mixer (nets/segmamba_hybrid_gsc_KAN_PE_ds_SPATIAL.py:147-163). Unlike
+    spatialmamba's StateFusion this uses default (zero) padding."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, H, W, D)."""
+        alpha = self.param("alpha", nn.initializers.ones, (3,), jnp.float32)
+
+        def dconv(dil, name):
+            return nn.Conv(
+                self.dim, (3, 3), padding=[(dil, dil), (dil, dil)],
+                kernel_dilation=(dil, dil), feature_group_count=self.dim,
+                dtype=self.dtype, name=name,
+            )
+
+        a = alpha.astype(x.dtype)
+        return (
+            a[0] * dconv(1, "dw1")(x)
+            + a[1] * dconv(3, "dw3")(x)
+            + a[2] * dconv(5, "dw5")(x)
+        )
+
+
 class MambaVisionMixer(nn.Module):
     d_model: int
     d_state: int = 8
     d_conv: int = 3
     expand: int = 1
     dt_rank: int | None = None
+    spatial_fusion: bool = False  # SPATIAL variant: dilated dwconv fusion of y
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, spatial_hw=None):
         """x: (B, L, C) → (B, L, C)."""
         b, l, c = x.shape
         d_inner = self.expand * self.d_model
@@ -117,6 +147,15 @@ class MambaVisionMixer(nn.Module):
             delta_bias=dt_bias,
             delta_softplus=True,
         )
+        if self.spatial_fusion:
+            # SPATIAL variant: fuse the scan-output maps with dilated dwconvs
+            # before the z-concat (…_ds_SPATIAL.py:155-168)
+            hh, ww = spatial_hw if spatial_hw is not None else (
+                int(round(l ** 0.5)), int(round(l ** 0.5))
+            )
+            ymap = y.transpose(0, 2, 1).reshape(b, hh, ww, dh)
+            ymap = SpatialStateFusion(dh, self.dtype, name="spatial_fusion_mod")(ymap)
+            y = ymap.reshape(b, l, dh).transpose(0, 2, 1)
         y = jnp.concatenate([y, z], axis=1).transpose(0, 2, 1)  # (B, L, d_inner)
         return nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="out_proj")(y)
 
@@ -240,6 +279,7 @@ class SpatialMambaBlock(nn.Module):
     hidden_dim: int
     d_state: int = 16
     mlp_ratio: float = 4.0
+    mlp_type: str = "mlp"  # 'mlp' | 'kan' (SpatialMambaBlock_KAN, spatialmamba.py:428-)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -257,7 +297,12 @@ class SpatialMambaBlock(nn.Module):
             c, (3, 3), padding="SAME", feature_group_count=c, dtype=self.dtype, name="cpe2"
         )(x)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_2")(x)
-        x = x + SpatialMambaMLP(int(c * self.mlp_ratio), c, self.dtype, name="mlp")(y)
+        if self.mlp_type == "kan":
+            # KANFFN applies its own LayerNorm after ln_2 — a double-norm
+            # quirk faithful to SpatialMambaBlock_KAN (spatialmamba.py:450-460)
+            x = x + KANFFN(c, int(c * self.mlp_ratio), self.dtype, name="mlp")(y)
+        else:
+            x = x + SpatialMambaMLP(int(c * self.mlp_ratio), c, self.dtype, name="mlp")(y)
         return x
 
 

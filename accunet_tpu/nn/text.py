@@ -56,8 +56,10 @@ class ClinicalTextEncoder:
             return None
         if self._fallback is not None:
             return self._fallback(texts)
+        # fixed-length padding keeps the (B, T, 768) shape static so the
+        # jitted model compiles once (the reference pads per batch, :74-80)
         tokens = self.tokenizer(
-            list(texts), padding=True, truncation=True, max_length=128,
+            list(texts), padding="max_length", truncation=True, max_length=128,
             return_tensors="pt",
         )
         with self._torch.no_grad():

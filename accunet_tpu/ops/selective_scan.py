@@ -12,8 +12,8 @@ The recurrence h[l] = exp(Δ[l]·A)·h[l-1] + Δ[l]·B[l]·u[l] is a first-order
 linear recurrence whose combine ((a1,b1),(a2,b2)) → (a2·a1, a2·b1+b2) is
 associative, so it maps to jax.lax.associative_scan — a log-depth, fully
 vectorized XLA program (the TPU-native counterpart of the reference's
-cub::BlockScan chunked prefix scan). The fused Pallas kernel lives in
-ops/pallas/selective_scan.py.
+cub::BlockScan chunked prefix scan). The fused chunked Pallas kernel lives in
+ops/pallas/scan.py.
 
 Layouts follow the torch API for drop-in porting: u/Δ (B,D,L), A (D,N),
 B/C (B,N,L), D (D,), z (B,D,L).

@@ -124,6 +124,79 @@ def import_torch_state(
     return out
 
 
+def swin_rename(n: str) -> str:
+    """flax-computed torch key → actual SwinTransformerSys key (the flax Swin
+    modules use flattened names; nets/SwinUnet.py attribute layout)."""
+    n = re.sub(r"^layers_(\d)_blocks\.", r"layers.\1.blocks.", n)
+    n = re.sub(r"^layers_(\d)_downsample\.", r"layers.\1.downsample.", n)
+    n = re.sub(r"^layers_up_(\d)_blocks\.", r"layers_up.\1.blocks.", n)
+    n = re.sub(r"^layers_up_(\d)_upsample\.", r"layers_up.\1.upsample.", n)
+    n = n.replace("patch_embed_proj.", "patch_embed.proj.")
+    n = n.replace("patch_embed_norm.", "patch_embed.norm.")
+    n = n.replace("mlp_fc1.", "mlp.fc1.").replace("mlp_fc2.", "mlp.fc2.")
+    return n
+
+
+def swin_load_from(variables: Mapping[str, Any], ckpt) -> Dict[str, Any]:
+    """Swin pretrained-checkpoint surgery for SwinUnet/SMESwinUnet — the
+    TPU-side equivalent of `SwinUnet.load_from()`
+    (/root/reference/Experiments/nets/SwinUnet.py:836-869):
+
+      * a raw backbone checkpoint ({'model': ...}, e.g.
+        swin_tiny_patch4_window7_224.pth) loads the encoder, and every
+        encoder key `layers.{n}...` is also remapped to the decoder as
+        `layers_up.{3-n}...`
+      * a full-model dump (no 'model' key) has its first 17 chars stripped
+        and 'output' keys dropped (:56-62)
+      * loading is non-strict: missing keys and shape mismatches (e.g.
+        relative-position tables at a different window size, heads) keep the
+        initialized value, mirroring `load_state_dict(..., strict=False)`
+
+    `variables` is the flax template from `model.init`; returns filled
+    variables."""
+    if isinstance(ckpt, Mapping) and "model" in ckpt:
+        sd = dict(ckpt["model"])
+        for k, v in list(sd.items()):
+            if k.startswith("layers."):
+                n_layer = 3 - int(k[7:8])
+                sd[f"layers_up.{n_layer}" + k[8:]] = v
+    else:
+        sd = {k[17:]: v for k, v in dict(ckpt).items() if "output" not in k}
+
+    # keep only entries the template can absorb (shape-compatible after the
+    # layout transform) — `strict=False` skips the rest
+    flat = {}
+
+    def collect(tree, path, coll):
+        if isinstance(tree, Mapping):
+            for k, v in tree.items():
+                collect(v, path + (k,), coll)
+            return
+        leaf = path[-1]
+        mod_path = path[:-1]
+        if coll == "batch_stats":
+            tname = _torch_key(mod_path) + "." + _BN_STAT[leaf]
+        elif leaf == "scale" or leaf in ("kernel", "kernel_t"):
+            tname = _torch_key(mod_path) + ".weight"
+        elif leaf == "bias":
+            tname = _torch_key(mod_path) + ".bias"
+        else:
+            tname = _torch_key(path)
+        tname = swin_rename(tname)
+        if tname in sd:
+            v = sd[tname]
+            v = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+            try:
+                _convert_leaf(leaf, np.shape(tree), v)
+                flat[tname] = v
+            except ValueError:
+                pass  # incompatible shape — keep init (strict=False semantics)
+
+    for coll, tree in variables.items():
+        collect(tree, (), coll)
+    return import_torch_state(variables, flat, rename=swin_rename, strict=False)
+
+
 def load_torch_checkpoint(path: str):
     """Load a reference-format .pth.tar and return its flat state_dict
     (train_model.py saves {'state_dict': model.state_dict(), ...})."""

@@ -8,9 +8,13 @@ train_model.py:782-831):
     batch-stat update, and in-graph metrics in a single XLA program (the
     reference does per-batch `.item()` host syncs and empty_cache() calls;
     here the only host sync is the per-epoch metric fetch)
-  * batch is sharded over the mesh `data` axis; BatchNorm statistics are
-    computed over the *global* batch (XLA inserts the cross-device reduction
-    automatically), i.e. sync-BN by construction
+  * pass `mesh=` to run SPMD: params/opt_state are placed by
+    accunet_tpu.parallel.param_sharding_rules (large kernels over the
+    `model` axis, rest replicated), each batch is sharded over the mesh
+    `data` axis via fns.shard_batch, and XLA inserts the gradient
+    all-reduce. BatchNorm statistics are then computed over the *global*
+    batch (sync-BN by construction). Without a mesh the same step runs
+    single-device.
   * checkpoint/resume via orbax (replaces torch.save of
     {epoch, state_dict, optimizer}, train_model.py:125-145, 672-689), with
     best-val-dice retention and early stopping (train_model.py:799-831)
@@ -51,6 +55,8 @@ class TrainStepFns:
     eval_step: Callable
     state: TrainState
     optimizer: optax.GradientTransformation
+    mesh: Any = None
+    shard_batch: Callable = lambda batch: batch  # identity when mesh is None
 
 
 def _main_output(preds):
@@ -70,16 +76,24 @@ def make_train_fns(
     steps_per_epoch: int = 1,
     rng: jax.Array | None = None,
     dice_show: Callable = L.soft_dice_show,
+    iou_fn: Callable = M.batch_iou,
     donate: bool = True,
+    mesh=None,
 ) -> TrainStepFns:
     """Build jitted train/eval steps + initial state for `model`.
 
     loss_fn(preds, targets) where preds is whatever the model returns
-    (array or deep-supervision tuple).
+    (array or deep-supervision tuple). With `mesh`, the returned state is
+    placed per accunet_tpu.parallel.param_sharding_rules and
+    `fns.shard_batch` shards host batches over the mesh `data` axis.
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     images = example_batch["image"]
-    variables = model.init(rng, images, train=False)
+    # text-conditioned models (train_model.py TEXT_MODELS, :271-283) receive
+    # per-sample prompt embeddings under batch["text_emb"]
+    uses_text = "text_emb" in example_batch
+    init_args = (images, example_batch["text_emb"]) if uses_text else (images,)
+    variables = model.init(rng, *init_args, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
 
@@ -103,10 +117,39 @@ def make_train_fns(
         opt_state=opt_state,
     )
 
+    shard_batch_fn = lambda batch: batch
+    if mesh is not None:
+        from accunet_tpu.parallel import mesh as pmesh
+
+        rules = pmesh.param_sharding_rules(mesh)
+        param_sh = rules(params)
+        repl = pmesh.replicate(mesh)
+
+        def opt_rule(x):
+            # shard optimizer moments like their parameters (same policy)
+            if hasattr(x, "ndim") and x.ndim >= 2:
+                return rules({"x": x})["x"]
+            return repl
+
+        state = TrainState(
+            step=jax.device_put(state.step, repl),
+            params=jax.device_put(params, param_sh),
+            batch_stats=jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, repl), batch_stats
+            ),
+            opt_state=jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, opt_rule(x)), opt_state
+            ),
+        )
+        shard_batch_fn = lambda batch: pmesh.shard_batch(mesh, batch)
+
+    def _model_args(batch):
+        return (batch["image"], batch["text_emb"]) if uses_text else (batch["image"],)
+
     def loss_and_metrics(params, batch_stats, batch):
         preds, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["image"],
+            *_model_args(batch),
             train=True,
             mutable=["batch_stats"],
         )
@@ -124,7 +167,7 @@ def make_train_fns(
         stats = {
             "loss": loss,
             "dice": dice_show(main, batch["mask"]),
-            "iou": M.batch_iou(main, batch["mask"]),
+            "iou": iou_fn(main, batch["mask"]),
             "lr": schedule(state.step),
         }
         return (
@@ -141,23 +184,27 @@ def make_train_fns(
     def eval_step(state: TrainState, batch):
         preds = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            batch["image"],
+            *_model_args(batch),
             train=False,
         )
         main = _main_output(preds)
         return {
             "loss": loss_fn(preds, batch["mask"]),
             "dice": dice_show(main, batch["mask"]),
-            "iou": M.batch_iou(main, batch["mask"]),
+            "iou": iou_fn(main, batch["mask"]),
         }
 
-    return TrainStepFns(train_step, eval_step, state, optimizer)
+    return TrainStepFns(
+        train_step, eval_step, state, optimizer, mesh, shard_batch_fn
+    )
 
 
-def run_epoch(step_fn, state, loader: Iterable, train: bool):
+def run_epoch(step_fn, state, loader: Iterable, train: bool, shard_batch=None):
     agg, n = None, 0
     t0 = time.time()
     for batch in loader:
+        if shard_batch is not None:
+            batch = shard_batch(batch)
         if train:
             state, stats = step_fn(state, batch)
         else:
@@ -227,8 +274,12 @@ def fit(
     best_dice, best_epoch = -1.0, 0
     history = []
     for epoch in range(1, epochs + 1):
-        state, tr = run_epoch(fns.train_step, state, train_loader_factory(), True)
-        _, va = run_epoch(fns.eval_step, state, val_loader_factory(), False)
+        state, tr = run_epoch(
+            fns.train_step, state, train_loader_factory(), True, fns.shard_batch
+        )
+        _, va = run_epoch(
+            fns.eval_step, state, val_loader_factory(), False, fns.shard_batch
+        )
         history.append({"epoch": epoch, "train": tr, "val": va})
         if log_every:
             logger.info(

@@ -190,9 +190,52 @@ def weighted_dice_bce_hausdorff(
     )
 
 
+def multiclass_dice_ce(logits, targets, dice_weight=0.5, ce_weight=0.5,
+                       smooth=1e-5):
+    """Softmax cross-entropy + mean per-class soft dice for (n_classes+1)-way
+    heads. The reference's utils.py losses implement only the n_labels==1
+    branch (utils.py:33,117 — multi-class falls through to None), so this is
+    new capability: the training-side counterpart of the reference's
+    multi-class eval argmax (test_model.py head semantics, ACC_UNet.py:654-658).
+
+    logits (B,H,W,K); targets (B,H,W) or (B,H,W,1) integer class ids."""
+    if isinstance(logits, (tuple, list)):
+        logits = logits[0]
+    if targets.ndim == logits.ndim:
+        targets = targets[..., 0]
+    k = logits.shape[-1]
+    targets = targets.astype(jnp.int32)
+    onehot = jax.nn.one_hot(targets, k, dtype=logits.dtype)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -(onehot * logp).sum(-1).mean()
+    p = jax.nn.softmax(logits, axis=-1)
+    inter = (p * onehot).sum(axis=(1, 2))
+    union = p.sum(axis=(1, 2)) + onehot.sum(axis=(1, 2))
+    dice = 1.0 - ((2 * inter + smooth) / (union + smooth)).mean()
+    return ce_weight * ce + dice_weight * dice
+
+
+def multiclass_dice_show(logits, targets, smooth=1e-5):
+    """Hard mean-foreground-dice metric for multi-class heads."""
+    if isinstance(logits, (tuple, list)):
+        logits = logits[0]
+    if targets.ndim == logits.ndim:
+        targets = targets[..., 0]
+    k = logits.shape[-1]
+    pred = jnp.argmax(logits, axis=-1)
+    dices = []
+    for c in range(1, k):  # foreground classes
+        pc = (pred == c).astype(jnp.float32)
+        tc = (targets == c).astype(jnp.float32)
+        inter = (pc * tc).sum(axis=(1, 2))
+        dices.append((2 * inter + smooth) / (pc.sum((1, 2)) + tc.sum((1, 2)) + smooth))
+    return jnp.stack(dices).mean()
+
+
 LOSSES = {
     "weighted_dice_bce": weighted_dice_bce,
     "binary_dice_bce": binary_dice_bce,
     "weighted_dice_bce_hausdorff": weighted_dice_bce_hausdorff,
     "gt_bce_dice": gt_bce_dice,
+    "multiclass_dice_ce": multiclass_dice_ce,
 }

@@ -44,6 +44,26 @@ def batch_iou(pred, target, apply_sigmoid=True):
     return jnp.where(union > 0, inter / union, 1.0).mean()
 
 
+def multiclass_batch_iou(logits, target, smooth=1e-7):
+    """Mean foreground IoU for (n_classes+1)-way heads (argmax semantics of
+    the reference eval, test_model.py:46 / evaluate.py multi-class branch)."""
+    if isinstance(logits, (tuple, list)):
+        logits = logits[0]
+    if target.ndim == logits.ndim:
+        target = target[..., 0]
+    k = logits.shape[-1]
+    pred = jnp.argmax(logits, axis=-1)
+    target = target.astype(pred.dtype)
+    ious = []
+    for c in range(1, k):
+        pc = (pred == c).astype(jnp.float32)
+        tc = (target == c).astype(jnp.float32)
+        inter = (pc * tc).sum(axis=(1, 2))
+        union = pc.sum((1, 2)) + tc.sum((1, 2)) - inter
+        ious.append((inter + smooth) / (union + smooth))
+    return jnp.stack(ious).mean()
+
+
 def batch_dice(pred, target, apply_sigmoid=True):
     """Mean per-image dice with smooth 1e-5 (utils.py:496-519)."""
     p, t = hard_masks(pred, target, apply_sigmoid)

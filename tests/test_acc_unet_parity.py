@@ -37,6 +37,7 @@ def _build_ref(variant, n_channels, n_classes, n_filts, seed):
     return model.eval()
 
 
+@pytest.mark.quick
 @pytest.mark.parametrize(
     "variant,n_classes", [("base", 1), ("lite", 1), ("w", 1), ("base", 3)]
 )

@@ -6,6 +6,8 @@ identity check (kernels/dwconv2d/check.py:15-54 analogue)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 import jax
 import jax.numpy as jnp
 

@@ -6,9 +6,10 @@ import pytest
 from accunet_tpu.data import native_loader
 
 
-pytestmark = pytest.mark.skipif(
-    not native_loader.available(), reason="no C++ toolchain"
-)
+pytestmark = [
+    pytest.mark.skipif(not native_loader.available(), reason="no C++ toolchain"),
+    pytest.mark.quick,
+]
 
 
 def test_native_bilinear_matches_torch():

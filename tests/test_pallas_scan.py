@@ -5,11 +5,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import pytest
+
 from accunet_tpu.ops.pallas.scan import (
     _chunked_scan_fwd,
     _xla_scan,
     chunked_linear_scan,
 )
+
+pytestmark = pytest.mark.quick
 
 
 def _rand(shape, seed, lo=-0.5, hi=0.5):

@@ -42,6 +42,8 @@ SPECS = {
 }
 
 SEGMAMBA_KW = dict(depths=(1, 1, 1, 1), feat_size=(8, 16, 24, 32), hidden_size=40)
+# window attention needs stage resolutions divisible by 7
+SPECS["Segmamba_hybrid_gsc_SWAttn"] = dict(hw=112)
 CMRF_NAMES = [n for n in registry if n.startswith("UNext_CMRF")]
 SEGMAMBA_NAMES = [n for n in registry if n.startswith("Segmamba")]
 
@@ -72,3 +74,24 @@ def test_model_forward(name):
     assert np.isfinite(np.asarray(main)).all(), name
     if not spec.get("clf"):
         assert main.shape[1] == hw and main.shape[2] == hw, (name, main.shape)
+
+
+@pytest.mark.quick
+def test_reference_factory_keys_resolve():
+    """Every `model_type == '<name>'` string in the reference train factory
+    (train_model.py:351-640, incl. commented ablation rungs) resolves to a
+    registered constructor."""
+    import os
+    import re
+
+    ref = "/root/reference/Experiments/train_model.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference checkout not present")
+    src = open(ref).read()
+    keys = list(dict.fromkeys(re.findall(r"model_type == '([^']+)'", src)))
+    assert len(keys) >= 50
+    for k in keys:
+        if k.startswith("MultiResUnet"):
+            m = build(k, n_channels=3, n_classes=1)  # name-parsing path
+        else:
+            assert k in registry, k

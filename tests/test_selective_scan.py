@@ -6,6 +6,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from accunet_tpu.ops.selective_scan import selective_scan, selective_scan_rh
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def _oracle(u, delta, A, B, C, D=None, delta_bias=None, delta_softplus=False):

@@ -4,6 +4,8 @@ data-parallel train step."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

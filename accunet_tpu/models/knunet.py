@@ -53,7 +53,7 @@ class VSSBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln__1")(x)
         return x + SS2D(self.hidden_dim, self.d_state, dtype=self.dtype,
                         name="self_attention")(y)
 

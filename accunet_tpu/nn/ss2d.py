@@ -134,7 +134,7 @@ class SSConvSSM(nn.Module):
     def __call__(self, x, train: bool = False):
         half = self.hidden_dim // 2
         left, right = x[..., :half], x[..., half:]
-        r = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_1")(right)
+        r = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln__1")(right)
         r = SS2D(half, self.d_state, dtype=self.dtype, name="self_attention")(r)
 
         def bn(name):

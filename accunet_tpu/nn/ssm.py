@@ -167,9 +167,9 @@ class StateFusion(nn.Module):
     @nn.compact
     def __call__(self, h):
         """h: (B, H, W, D) — depthwise dilated 3x3s with replicate padding."""
-        k3 = self.param("kernel_3", nn.initializers.ones, (self.dim, 1, 3, 3), jnp.float32)
-        k31 = self.param("kernel_3_1", nn.initializers.ones, (self.dim, 1, 3, 3), jnp.float32)
-        k32 = self.param("kernel_3_2", nn.initializers.ones, (self.dim, 1, 3, 3), jnp.float32)
+        k3 = self.param("kernel__3", nn.initializers.ones, (self.dim, 1, 3, 3), jnp.float32)
+        k31 = self.param("kernel__3__1", nn.initializers.ones, (self.dim, 1, 3, 3), jnp.float32)
+        k32 = self.param("kernel__3__2", nn.initializers.ones, (self.dim, 1, 3, 3), jnp.float32)
         alpha = self.param("alpha", nn.initializers.ones, (3,), jnp.float32)
 
         def dconv(x, kernel, dil):
@@ -289,14 +289,14 @@ class SpatialMambaBlock(nn.Module):
         x = x + nn.Conv(
             c, (3, 3), padding="SAME", feature_group_count=c, dtype=self.dtype, name="cpe1"
         )(x)
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_1")(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln__1")(x)
         x = x + StructureAwareSSM(
             c, d_state=self.d_state, dtype=self.dtype, name="self_attention"
         )(y)
         x = x + nn.Conv(
             c, (3, 3), padding="SAME", feature_group_count=c, dtype=self.dtype, name="cpe2"
         )(x)
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_2")(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln__2")(x)
         if self.mlp_type == "kan":
             # KANFFN applies its own LayerNorm after ln_2 — a double-norm
             # quirk faithful to SpatialMambaBlock_KAN (spatialmamba.py:450-460)

@@ -49,12 +49,14 @@ _BN_PARAM = {"scale": "weight", "bias": "bias"}
 def _convert_leaf(leaf_name: str, flax_shape, torch_val: np.ndarray) -> np.ndarray:
     v = np.asarray(torch_val, dtype=np.float32)
     if leaf_name == "kernel_t":
-        if v.ndim == 5:  # convT3d (I,O,1,kh,kw) with unit depth -> 2D
-            v = v[:, :, 0]
+        if v.ndim == 5:  # convT3d (I,O,kd,kh,kw) on unit-depth input -> 2D:
+            v = v[:, :, v.shape[2] // 2]  # only the center depth tap sees data
         return v.transpose(2, 3, 0, 1)  # convT (I,O,kh,kw) -> (kh,kw,I,O)
     if leaf_name == "kernel":
-        if v.ndim == 5:  # conv3d (O,I,1,kh,kw) with unit depth -> 2D
-            v = v[:, :, 0]
+        if v.ndim == 5:  # conv3d (O,I,kd,kh,kw) on unit-depth input -> 2D:
+            # with 'same' depth padding only the center tap multiplies real
+            # data (GSC's 3x3x3 convs; kd=1 stems keep slice 0 == center)
+            v = v[:, :, v.shape[2] // 2]
         if v.ndim == 4:
             return v.transpose(2, 3, 1, 0)  # conv OIHW -> HWIO
         if v.ndim == 3:

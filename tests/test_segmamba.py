@@ -30,8 +30,10 @@ def test_flagship_forward_shapes():
 
 
 def test_ds_variant_returns_tuple():
+    # _flip's reference forward returns (main, ds1, ds2, ds3)
+    # (nets/segmamba_hybrid_gsc_KAN_PE_ds_flip.py:1097)
     model = build_segmamba(
-        "Segmamba_hybrid_gsc_KAN_PE_ds",
+        "Segmamba_hybrid_gsc_KAN_PE_ds_flip",
         depths=(1, 1, 1, 1), feat_size=(8, 16, 24, 32), hidden_size=40,
     )
     x = jnp.zeros((1, 32, 32, 1))
@@ -40,6 +42,19 @@ def test_ds_variant_returns_tuple():
     assert isinstance(outs, tuple) and len(outs) == 4
     for o in outs:
         assert o.shape == (1, 32, 32, 1)
+
+
+def test_ds_variant_shipped_forward_returns_main_only():
+    # _KAN_PE_ds ships with the tuple return commented out
+    # (nets/segmamba_hybrid_gsc_KAN_PE_ds.py:1072-1079)
+    model = build_segmamba(
+        "Segmamba_hybrid_gsc_KAN_PE_ds",
+        depths=(1, 1, 1, 1), feat_size=(8, 16, 24, 32), hidden_size=40,
+    )
+    x = jnp.zeros((1, 32, 32, 1))
+    var = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(var, x, train=False)
+    assert not isinstance(out, tuple) and out.shape == (1, 32, 32, 1)
 
 
 def test_baseline_segmamba_grad_flows():

@@ -25,9 +25,13 @@ def _install_fake_timm():
     import torch
     from torch import nn
 
+    import importlib.machinery as _mach
+
     timm = types.ModuleType("timm")
     models = types.ModuleType("timm.models")
     layers = types.ModuleType("timm.models.layers")
+    for _m in (timm, models, layers):
+        _m.__spec__ = _mach.ModuleSpec(_m.__name__, None)
 
     class DropPath(nn.Module):
         def __init__(self, drop_prob=0.0):
@@ -63,6 +67,8 @@ def _install_fake(name: str, attrs: dict | None = None):
     if name in sys.modules:
         return sys.modules[name]
     mod = types.ModuleType(name)
+    # importlib.util.find_spec (used by e.g. transformers) requires __spec__
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
     for k, v in (attrs or {}).items():
         setattr(mod, k, v)
     sys.modules[name] = mod

@@ -29,11 +29,16 @@ from accunet_tpu.ops.pooling import max_pool2d
 
 
 class ConvTranspose2x2(nn.Module):
-    """torch.nn.ConvTranspose2d(k=2, s=2) as matmul + depth-to-space."""
+    """torch.nn.ConvTranspose2d(k=2, s=2) as matmul + depth-to-space.
+
+    With `to_frame=True` the depth-to-space is skipped and the output stays
+    in the s2d frame (ops/s2d.py) — a k==s transposed conv has no window
+    overlap, so each output sub-position is exactly x @ w[di, dj]."""
 
     in_features: int
     out_features: int
     dtype: Any = jnp.float32
+    to_frame: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -44,6 +49,12 @@ class ConvTranspose2x2(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.out_features,), jnp.float32)
+        if self.to_frame:
+            from accunet_tpu.ops import s2d
+
+            return s2d.conv_transpose_2x2_to_frame(
+                x.astype(self.dtype), kernel.astype(self.dtype), bias
+            )
         return conv_transpose_2x2(x.astype(self.dtype), kernel.astype(self.dtype), bias)
 
 
@@ -55,6 +66,9 @@ class ACCUNet(nn.Module):
     final_sigmoid: bool = True   # only applies when n_classes == 1
     wide_decoder_block: bool = True  # cnv72 inv_fctr 34 (canonical) vs 3 (harness)
     remat: bool = False  # jax.checkpoint each HANCBlock (training memory)
+    s2d_levels: int = 0  # 0 | 1 | 2 — run the top levels in the s2d frame
+    # (ops/s2d.py): identical parameters and math, ~2-4x faster level-1/2 on
+    # TPU. Spatial dims must be divisible by 4 (s2d_levels=1) / 8 (=2).
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -63,6 +77,9 @@ class ACCUNet(nn.Module):
         dt = self.dtype
         x = x.astype(dt)
         mode = {"base": "full", "lite": "lite", "w": "w"}[self.variant]
+        s2d_lv = self.s2d_levels
+        if s2d_lv:
+            from accunet_tpu.ops import s2d
 
         if self.remat:
             block_cls = nn.remat(HANCBlock, static_argnums=(2,))
@@ -71,29 +88,59 @@ class ACCUNet(nn.Module):
         else:
             block_cls, respath_cls, mlfc_cls = HANCBlock, ResPath, MLFC
 
-        def hanc(n_in, n_out, k, inv, name):
-            return block_cls(n_in, n_out, k=k, inv_fctr=inv, dtype=dt, name=name)
+        def hanc(n_in, n_out, k, inv, name, lv=0):
+            layout = "s2d" if s2d_lv >= lv > 0 else "nhwc"
+            return block_cls(
+                n_in, n_out, k=k, inv_fctr=inv, dtype=dt, layout=layout, name=name
+            )
 
-        x2 = hanc(self.n_channels, f, 3, 3, "cnv11")(x, train)
-        x2 = hanc(f, f, 3, 3, "cnv12")(x2, train)
-        x3 = hanc(f, f * 2, 3, 3, "cnv21")(max_pool2d(x2, 2), train)
-        x3 = hanc(f * 2, f * 2, 3, 3, "cnv22")(x3, train)
-        x4 = hanc(f * 2, f * 4, 3, 3, "cnv31")(max_pool2d(x3, 2), train)
+        lay = lambda lv: "s2d" if s2d_lv >= lv > 0 else "nhwc"
+
+        x1 = s2d.pack(x) if s2d_lv >= 1 else x
+        x2 = hanc(self.n_channels, f, 3, 3, "cnv11", lv=1)(x1, train)
+        x2 = hanc(f, f, 3, 3, "cnv12", lv=1)(x2, train)
+
+        p2 = s2d.max_positions(x2) if s2d_lv >= 1 else max_pool2d(x2, 2)
+        if s2d_lv >= 2:
+            p2 = s2d.pack(p2)
+        x3 = hanc(f, f * 2, 3, 3, "cnv21", lv=2)(p2, train)
+        x3 = hanc(f * 2, f * 2, 3, 3, "cnv22", lv=2)(x3, train)
+
+        p3 = s2d.max_positions(x3) if s2d_lv >= 2 else max_pool2d(x3, 2)
+        x4 = hanc(f * 2, f * 4, 3, 3, "cnv31")(p3, train)
         x4 = hanc(f * 4, f * 4, 3, 3, "cnv32")(x4, train)
         x5 = hanc(f * 4, f * 8, 2, 3, "cnv41")(max_pool2d(x4, 2), train)
         x5 = hanc(f * 8, f * 8, 2, 3, "cnv42")(x5, train)
         x6 = hanc(f * 8, f * 16, 1, 3, "cnv51")(max_pool2d(x5, 2), train)
         x6 = hanc(f * 16, f * 16, 1, 3, "cnv52")(x6, train)
 
-        x2 = respath_cls(f, 4, dt, name="rspth1")(x2, train)
-        x3 = respath_cls(f * 2, 3, dt, name="rspth2")(x3, train)
+        x2 = respath_cls(f, 4, dt, layout=lay(1), name="rspth1")(x2, train)
+        x3 = respath_cls(f * 2, 3, dt, layout=lay(2), name="rspth2")(x3, train)
         x4 = respath_cls(f * 4, 2, dt, name="rspth3")(x4, train)
         x5 = respath_cls(f * 8, 1, dt, name="rspth4")(x5, train)
 
         filts = (f, f * 2, f * 4, f * 8)
-        x2, x3, x4, x5 = mlfc_cls(filts, 1, mode, dt, name="mlfc1")(x2, x3, x4, x5, train)
-        x2, x3, x4, x5 = mlfc_cls(filts, 1, mode, dt, name="mlfc2")(x2, x3, x4, x5, train)
-        x2, x3, x4, x5 = mlfc_cls(filts, 1, mode, dt, name="mlfc3")(x2, x3, x4, x5, train)
+        if mode == "lite":
+            layouts = (lay(1), lay(2), "nhwc", "nhwc")
+            for name in ("mlfc1", "mlfc2", "mlfc3"):
+                x2, x3, x4, x5 = mlfc_cls(
+                    filts, 1, mode, dt, layouts=layouts, name=name
+                )(x2, x3, x4, x5, train)
+        else:
+            # full/w MLFC does cross-level resampling — run it in the
+            # standard layout (unpack/repack once around the stack)
+            if s2d_lv >= 1:
+                x2 = s2d.unpack(x2)
+            if s2d_lv >= 2:
+                x3 = s2d.unpack(x3)
+            for name in ("mlfc1", "mlfc2", "mlfc3"):
+                x2, x3, x4, x5 = mlfc_cls(filts, 1, mode, dt, name=name)(
+                    x2, x3, x4, x5, train
+                )
+            if s2d_lv >= 1:
+                x2 = s2d.pack(x2)
+            if s2d_lv >= 2:
+                x3 = s2d.pack(x3)
 
         x7 = ConvTranspose2x2(f * 16, f * 8, dt, name="up6")(x6)
         x7 = hanc(f * 16, f * 8, 2, 3, "cnv61")(jnp.concatenate([x7, x5], -1), train)
@@ -103,16 +150,31 @@ class ACCUNet(nn.Module):
         x8 = hanc(f * 8, f * 4, 3, 3, "cnv71")(jnp.concatenate([x8, x4], -1), train)
         x8 = hanc(f * 4, f * 4, 3, 34 if self.wide_decoder_block else 3, "cnv72")(x8, train)
 
-        x9 = ConvTranspose2x2(f * 4, f * 2, dt, name="up8")(x8)
-        x9 = hanc(f * 4, f * 2, 3, 3, "cnv81")(jnp.concatenate([x9, x3], -1), train)
-        x9 = hanc(f * 2, f * 2, 3, 3, "cnv82")(x9, train)
+        x9 = ConvTranspose2x2(
+            f * 4, f * 2, dt, to_frame=s2d_lv >= 2, name="up8"
+        )(x8)
+        cat = s2d.concat_channels(x9, x3) if s2d_lv >= 2 else jnp.concatenate([x9, x3], -1)
+        x9 = hanc(f * 4, f * 2, 3, 3, "cnv81", lv=2)(cat, train)
+        x9 = hanc(f * 2, f * 2, 3, 3, "cnv82", lv=2)(x9, train)
 
-        x10 = ConvTranspose2x2(f * 2, f, dt, name="up9")(x9)
-        x10 = hanc(f * 2, f, 3, 3, "cnv91")(jnp.concatenate([x10, x2], -1), train)
-        x10 = hanc(f, f, 3, 3, "cnv92")(x10, train)
+        if s2d_lv >= 2:
+            x9 = s2d.unpack(x9)
+        x10 = ConvTranspose2x2(
+            f * 2, f, dt, to_frame=s2d_lv >= 1, name="up9"
+        )(x9)
+        cat = s2d.concat_channels(x10, x2) if s2d_lv >= 1 else jnp.concatenate([x10, x2], -1)
+        x10 = hanc(f * 2, f, 3, 3, "cnv91", lv=1)(cat, train)
+        x10 = hanc(f, f, 3, 3, "cnv92", lv=1)(x10, train)
 
         out_ch = self.n_classes if self.n_classes == 1 else self.n_classes + 1
-        logits = nn.Conv(out_ch, (1, 1), dtype=dt, name="out")(x10)
+        if s2d_lv >= 1:
+            from accunet_tpu.nn.acc_blocks import _ConvParams
+
+            ko, bo = _ConvParams(1, 1, f, out_ch, name="out")()
+            logits = s2d.conv1x1(x10, ko[0, 0].astype(x10.dtype), bo.astype(x10.dtype))
+            logits = s2d.unpack(logits)
+        else:
+            logits = nn.Conv(out_ch, (1, 1), dtype=dt, name="out")(x10)
         if self.n_classes == 1 and self.final_sigmoid:
             logits = jax.nn.sigmoid(logits)
         return logits.astype(jnp.float32)

@@ -75,17 +75,67 @@ def batch_norm(x, train: bool, dtype=jnp.float32, name: str = "bn"):
     )(x)
 
 
+def batch_norm_frame(xf, train: bool, dtype=jnp.float32, name: str = "bn"):
+    """BatchNorm of a logical map stored in the s2d frame (ops/s2d.py).
+
+    Viewing the frame as (..., 4, C) makes flax's BatchNorm reduce over the
+    position axis too, so parameters/stats stay (C,) — bit-identical trees
+    to the standard layout, and training statistics match the logical map."""
+    b, h, w, c4 = xf.shape
+    y = nn.BatchNorm(
+        use_running_average=not train,
+        momentum=0.9,
+        epsilon=1e-5,
+        dtype=dtype,
+        name=name,
+    )(xf.reshape(b, h, w, 4, c4 // 4))
+    return y.reshape(b, h, w, c4)
+
+
+class _ConvParams(nn.Module):
+    """Parameter mirror of nn.Conv (same names/shapes) for ops that apply
+    the convolution through a custom path (the s2d frame)."""
+
+    kh: int
+    kw: int
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kh, self.kw, self.in_features, self.out_features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_features,), jnp.float32)
+        return kernel, bias
+
+
 class ChannelSELayer(nn.Module):
     num_channels: int
     dtype: Dtype = jnp.float32
+    layout: str = "nhwc"  # 'nhwc' | 's2d' (ops/s2d.py frame)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        squeezed = global_avg_pool(x)
+        if self.layout == "s2d":
+            from accunet_tpu.ops import s2d
+
+            squeezed = s2d.global_avg_pool(x)
+        else:
+            squeezed = global_avg_pool(x)
         s = lrelu(nn.Dense(self.num_channels // 8, dtype=self.dtype, name="fc1")(squeezed))
         s = jax.nn.sigmoid(nn.Dense(self.num_channels, dtype=self.dtype, name="fc2")(s))
-        out = x * s[:, None, None, :]
-        out = batch_norm(out, train, self.dtype)
+        if self.layout == "s2d":
+            from accunet_tpu.ops import s2d
+
+            out = x * jnp.tile(s, (1, 4))[:, None, None, :]
+            out = batch_norm_frame(out, train, self.dtype)
+        else:
+            out = x * s[:, None, None, :]
+            out = batch_norm(out, train, self.dtype)
         return lrelu(out)
 
 
@@ -116,6 +166,25 @@ class DepthwiseConv(nn.Module):
         return dwconv2d(
             x, kernel[:, :, 0, :].astype(x.dtype), bias.astype(x.dtype)
         )
+
+
+class _DWConvParams(nn.Module):
+    """Parameter mirror of DepthwiseConv (same names/shapes)."""
+
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, 1, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
 
 
 class _Conv1x1Params(nn.Module):
@@ -154,15 +223,22 @@ class HANCLayer(nn.Module):
     out_chnl: int
     k: int
     dtype: Dtype = jnp.float32
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c = x.shape[-1]
+        c = x.shape[-1] if self.layout != "s2d" else x.shape[-1] // 4
         k = self.k
         nv = 2 * k - 1
         kernel, bias = _Conv1x1Params(c * nv, self.out_chnl, name="cnv")()
         # interleaved input channel c*(2k-1)+j == (channel c, variant j)
         w = kernel.reshape(c, nv, self.out_chnl).astype(x.dtype)
+
+        if self.layout == "s2d":
+            from accunet_tpu.ops import s2d
+
+            y = s2d.hanc_mix_frame(x, w, bias.astype(x.dtype), k)
+            return lrelu(batch_norm_frame(y, train, self.dtype))
 
         def mix(t, j):
             out = jax.lax.dot_general(
@@ -222,10 +298,13 @@ class HANCBlock(nn.Module):
     k: int = 3
     inv_fctr: int = 3
     dtype: Dtype = jnp.float32
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, inp, train: bool = False):
         e = self.n_filts * self.inv_fctr
+        if self.layout == "s2d":
+            return self._call_s2d(inp, train, e)
         x = nn.Conv(e, (1, 1), dtype=self.dtype, name="conv1")(inp)
         x = batch_norm(x, train, self.dtype, name="norm1")
         x = lrelu(x)
@@ -243,27 +322,67 @@ class HANCBlock(nn.Module):
         x = lrelu(x)
         return ChannelSELayer(self.out_channels, self.dtype, name="sqe")(x, train)
 
+    def _call_s2d(self, inp, train, e):
+        """Frame-layout body — same parameter tree, ops from ops/s2d.py."""
+        from accunet_tpu.ops import s2d
+
+        cin = inp.shape[-1] // 4
+        k1, b1 = _ConvParams(1, 1, cin, e, name="conv1")()
+        x = s2d.conv1x1(inp, k1[0, 0].astype(inp.dtype), b1.astype(inp.dtype))
+        x = batch_norm_frame(x, train, self.dtype, name="norm1")
+        x = lrelu(x)
+
+        kd, bd = _DWConvParams(e, 3, name="conv2")()
+        x = s2d.dwconv3x3(x, kd[:, :, 0, :].astype(x.dtype), bd.astype(x.dtype))
+        x = batch_norm_frame(x, train, self.dtype, name="norm2")
+        x = lrelu(x)
+
+        x = HANCLayer(self.n_filts, self.k, self.dtype, layout="s2d", name="hnc")(x, train)
+
+        x = batch_norm_frame(x + inp, train, self.dtype, name="norm")
+
+        k3, b3 = _ConvParams(1, 1, self.n_filts, self.out_channels, name="conv3")()
+        x = s2d.conv1x1(x, k3[0, 0].astype(x.dtype), b3.astype(x.dtype))
+        x = batch_norm_frame(x, train, self.dtype, name="norm3")
+        x = lrelu(x)
+        return ChannelSELayer(
+            self.out_channels, self.dtype, layout="s2d", name="sqe"
+        )(x, train)
+
 
 class ResPath(nn.Module):
     in_chnls: int
     n_lvl: int
     dtype: Dtype = jnp.float32
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        s2d_mode = self.layout == "s2d"
+        if s2d_mode:
+            from accunet_tpu.ops import s2d
+        bn = batch_norm_frame if s2d_mode else batch_norm
         for i in range(self.n_lvl):
-            y = nn.Conv(
-                self.in_chnls, (3, 3), padding="SAME",
-                dtype=self.dtype, name=f"convs_{i}",
-            )(x)
-            y = batch_norm(y, train, self.dtype, name=f"bns_{i}")
-            y = ChannelSELayer(self.in_chnls, self.dtype, name=f"sqes_{i}")(lrelu(y), train)
+            if s2d_mode:
+                kc, bc = _ConvParams(
+                    3, 3, self.in_chnls, self.in_chnls, name=f"convs_{i}"
+                )()
+                y = s2d.conv3x3(x, kc.astype(x.dtype), bc.astype(x.dtype))
+            else:
+                y = nn.Conv(
+                    self.in_chnls, (3, 3), padding="SAME",
+                    dtype=self.dtype, name=f"convs_{i}",
+                )(x)
+            y = bn(y, train, self.dtype, name=f"bns_{i}")
+            y = ChannelSELayer(
+                self.in_chnls, self.dtype, layout=self.layout, name=f"sqes_{i}"
+            )(lrelu(y), train)
             x = x + y
-        x = batch_norm(x, train, self.dtype, name="bn")
+        x = bn(x, train, self.dtype, name="bn")
         x = lrelu(x)
         # reference's final "sqe" is actually a second BatchNorm
         # (ACC_UNet/ACC_UNet.py:313)
-        return batch_norm(x, train, self.dtype, name="sqe")
+        return bn(x, train, self.dtype, name="sqe")
 
 
 class _MLFCFusedConv(nn.Module):
@@ -314,6 +433,7 @@ class MLFC(nn.Module):
     lenn: int = 1
     mode: str = "full"  # 'full' | 'lite' | 'w'
     dtype: Dtype = jnp.float32
+    layouts: Sequence[str] = ("nhwc", "nhwc", "nhwc", "nhwc")  # lite mode only
 
     @nn.compact
     def __call__(self, x1, x2, x3, x4, train: bool = False):
@@ -321,10 +441,11 @@ class MLFC(nn.Module):
 
         if self.mode == "lite":
             # ACC_UNet_lite.py:424-431 — SE per level, no cross-level fusion.
-            x1 = ChannelSELayer(f1, self.dtype, name="sqe1")(x1, train)
-            x2 = ChannelSELayer(f2, self.dtype, name="sqe2")(x2, train)
-            x3 = ChannelSELayer(f3, self.dtype, name="sqe3")(x3, train)
-            x4 = ChannelSELayer(f4, self.dtype, name="sqe4")(x4, train)
+            l1, l2, l3, l4 = self.layouts
+            x1 = ChannelSELayer(f1, self.dtype, layout=l1, name="sqe1")(x1, train)
+            x2 = ChannelSELayer(f2, self.dtype, layout=l2, name="sqe2")(x2, train)
+            x3 = ChannelSELayer(f3, self.dtype, layout=l3, name="sqe3")(x3, train)
+            x4 = ChannelSELayer(f4, self.dtype, layout=l4, name="sqe4")(x4, train)
             return x1, x2, x3, x4
 
         if self.mode == "w":

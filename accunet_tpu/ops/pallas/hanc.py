@@ -7,22 +7,23 @@ Math (identical to nn/acc_blocks.HANCLayer's decomposed-XLA path):
 with the pyramid evaluated hierarchically and the sum telescoped coarsest-
 first so every add except one runs at low resolution.
 
-Why a kernel: XLA evaluates the pyramid as separate reduce-windows +
-upsample-adds, reading the full-res x three times and doing several full-res
-read-modify-writes — measured 80 MB/img of HBM traffic for one level-1 layer
-on v5e vs the 12.8 MB ideal. The kernel stages one (th, W, C) tile in VMEM
-and computes the pools (lane-preserving reshape + static slices; Mosaic
-rejects multi-axis reductions and the inverse upsample reshape here) and ALL
-(2k-1) mixes (MXU) on-chip, emitting the full-res mix plus the tiny low-res
-mixed terms; the telescoped upsample-add runs in XLA on those small maps.
-Traffic per level-1 layer drops from ~80 MB/img to ~30 MB/img.
+Why a kernel (measured on v5e, B8 224x224 C96 k3, chain-delta timing that
+cancels the serving relay's ~30 ms round-trip):
+  * XLA telescoped path: 1.50 ms/layer — dominated by the full-resolution
+    nearest-upsample-add (1.13 ms alone: a sublane/lane relayout pass over
+    77 MB) and the pool reshapes (0.22 ms each); the matmuls are 0.08 ms.
+  * A kernel that fuses only pools+mixes and leaves the telescoped
+    upsample-add to XLA is a wash (1.44-1.60 ms — the round-1 design).
+  * This kernel runs the ENTIRE telescope in VMEM: each (th, W, C) tile
+    computes its pools, all (2k-1) mixes (MXU), and the upsample-adds
+    on-chip, emitting the finished y tile once. Full-res HBM traffic is
+    read-x + write-y, nothing else.
 
 Tiles are multiples of 2^(k-1) rows so pooling never crosses a tile boundary
 (pool windows are aligned, stride == window).
 
 Backward: custom_vjp whose bwd differentiates the XLA reference formula
-(pools/upsamples are cheap to re-derive; training keeps XLA speed while
-inference gets the fused path).
+(training keeps XLA's fused backward; inference gets the fused kernel).
 """
 
 from __future__ import annotations
@@ -62,12 +63,15 @@ def _xla_hanc_mix(x, w, bias, k):
     return y + bias.astype(y.dtype)
 
 
-def _stage1_kernel(x_ref, w_ref, y0_ref, a_ref, m_ref, t1_ref, *, k):
-    """Minimal fusion: one read of the full-res x tile produces the full-res
-    mix, both scale-2 pools, and the scale-2 mixed term. Deeper pyramid
-    levels + the telescoped add run in XLA on quarter-size data."""
+def _kernel(x_ref, w_ref, b_ref, y_ref, *, k):
+    """One (th, W, C) tile -> finished (th, W, Cout) HANC output tile.
+
+    Whole telescope in VMEM (measured: beats XLA ~2x at 56^2 and below,
+    roughly par at 224^2/112^2 where Mosaic's pool/upsample relayout
+    shuffles dominate — a plane-decomposed v3 that tried to avoid them hit
+    Mosaic internal errors at 224^2 and was slower at 56^2)."""
     x = x_ref[0]  # (th, W, C)
-    w = w_ref[:]
+    w = w_ref[:]  # (C, 2k-1, Cout)
     th, wd, c = x.shape
     cout = w.shape[-1]
 
@@ -77,32 +81,7 @@ def _stage1_kernel(x_ref, w_ref, y0_ref, a_ref, m_ref, t1_ref, *, k):
             tt, w[:, j, :].astype(tt.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return out.astype(x.dtype).reshape(t.shape[0], t.shape[1], cout)
-
-    r = x.reshape(th // 2, 2, wd // 2, 2, c)
-    q = [r[:, 0, :, 0, :], r[:, 0, :, 1, :], r[:, 1, :, 0, :], r[:, 1, :, 1, :]]
-    a = ((q[0] + q[1]) + (q[2] + q[3])) * jnp.asarray(0.25, x.dtype)
-    m = jnp.maximum(jnp.maximum(q[0], q[1]), jnp.maximum(q[2], q[3]))
-
-    y0_ref[0] = mix(x, 0)
-    a_ref[0] = a
-    m_ref[0] = m
-    t1_ref[0] = mix(a, 1) + mix(m, k)
-
-
-def _kernel(x_ref, w_ref, *out_refs, k):
-    x = x_ref[0]  # (th, W, C)
-    w = w_ref[:]  # (C, nv, Cout)
-    th, wd, c = x.shape
-    cout = w.shape[-1]
-
-    def mix(t, j):
-        tt = t.reshape(-1, c)
-        out = jax.lax.dot_general(
-            tt, w[:, j, :].astype(tt.dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return out.astype(x.dtype).reshape(t.shape[0], t.shape[1], cout)
+        return out.reshape(t.shape[0], t.shape[1], cout)  # fp32
 
     def pool(t, kind):
         # 2x2 pooling via lane-preserving reshape + static slices (multi-axis
@@ -115,17 +94,33 @@ def _kernel(x_ref, w_ref, *out_refs, k):
         s = (q[0] + q[1]) + (q[2] + q[3])
         return s * jnp.asarray(0.25, t.dtype)
 
-    out_refs[0][0] = mix(x, 0)
+    def up2(t):
+        # nearest upsample 2x (fp32 accum maps)
+        h, ww, cc = t.shape
+        r = jnp.broadcast_to(t[:, None, :, None, :], (h, 2, ww, 2, cc))
+        return r.reshape(2 * h, 2 * ww, cc)
+
+    avg_maps, max_maps = [], []
     a = m = x
-    for i in range(1, k):
+    for _ in range(1, k):
         a = pool(a, "avg")
         m = pool(m, "max")
-        out_refs[i][0] = mix(a, i) + mix(m, k - 1 + i)
+        avg_maps.append(a)
+        max_maps.append(m)
+
+    acc = None
+    for i in range(k - 1, 0, -1):  # coarsest first; all low-res
+        term = mix(avg_maps[i - 1], i) + mix(max_maps[i - 1], k - 1 + i)
+        acc = term if acc is None else term + up2(acc)
+    y = mix(x, 0)
+    if acc is not None:
+        y = y + up2(acc)
+    y_ref[0] = (y + b_ref[:].astype(jnp.float32)).astype(y_ref.dtype)
 
 
 def _pick_tile(h: int, wd: int, c: int, k: int, itemsize: int) -> int:
     """Largest row-tile that is pool-aligned and keeps the staged input tile
-    ≤~700 KB (Mosaic pads pooled reshapes to 8 sublanes, inflating live VMEM
+    <=~700 KB (Mosaic pads pooled reshapes to 8 sublanes, inflating live VMEM
     several-fold past the raw tile size)."""
     s = 2 ** (k - 1)
     for th in (32, 16, 8, 4, 2, 1):
@@ -135,95 +130,22 @@ def _pick_tile(h: int, wd: int, c: int, k: int, itemsize: int) -> int:
 
 
 def _hanc_pallas(x, w, bias, k):
-    from accunet_tpu.ops.pooling import upsample_nearest
-
     b, h, wd, c = x.shape
     cout = w.shape[-1]
     th = _pick_tile(h, wd, c, k, x.dtype.itemsize)
     grid = (b, h // th)
 
-    def spec(i):
-        s = 2 ** i
-        return pl.BlockSpec(
-            (1, th // s, wd // s, cout), lambda bi, hi: (bi, hi, 0, 0)
-        )
-
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel, k=k),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, th, wd, c), lambda bi, hi: (bi, hi, 0, 0)),
             pl.BlockSpec((c, 2 * k - 1, cout), lambda bi, hi: (0, 0, 0)),
+            pl.BlockSpec((cout,), lambda bi, hi: (0,)),
         ],
-        out_specs=[spec(i) for i in range(k)],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h // 2 ** i, wd // 2 ** i, cout), x.dtype)
-            for i in range(k)
-        ],
-    )(x, w.astype(x.dtype))
-    if not isinstance(outs, (tuple, list)):
-        outs = [outs]
-
-    # telescoped upsample-add over the tiny low-res terms (XLA)
-    acc = None
-    for i in range(k - 1, 0, -1):
-        acc = outs[i] if acc is None else outs[i] + upsample_nearest(acc, 2)
-    y = outs[0]
-    if acc is not None:
-        y = y + upsample_nearest(acc, 2)
-    return y + bias.astype(y.dtype)
-
-
-def _hanc_pallas_stage1(x, w, bias, k):
-    """Stage-1-fused evaluation: pallas computes mix0/avg2/max2/t1 from one
-    read of x; XLA finishes the (quarter-size) deeper levels + telescope."""
-    from accunet_tpu.ops.pooling import avg_pool2d, max_pool2d, upsample_nearest
-
-    b, h, wd, c = x.shape
-    cout = w.shape[-1]
-    th = _pick_tile(h, wd, c, k, x.dtype.itemsize)
-    grid = (b, h // th)
-    wb = w.astype(x.dtype)
-
-    y0, a2, m2, t1 = pl.pallas_call(
-        functools.partial(_stage1_kernel, k=k),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, th, wd, c), lambda bi, hi: (bi, hi, 0, 0)),
-            pl.BlockSpec((c, 2 * k - 1, cout), lambda bi, hi: (0, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, th, wd, cout), lambda bi, hi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, th // 2, wd // 2, c), lambda bi, hi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, th // 2, wd // 2, c), lambda bi, hi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, th // 2, wd // 2, cout), lambda bi, hi: (bi, hi, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, wd, cout), x.dtype),
-            jax.ShapeDtypeStruct((b, h // 2, wd // 2, c), x.dtype),
-            jax.ShapeDtypeStruct((b, h // 2, wd // 2, c), x.dtype),
-            jax.ShapeDtypeStruct((b, h // 2, wd // 2, cout), x.dtype),
-        ],
-    )(x, wb)
-
-    def mix(t, j):
-        out = jax.lax.dot_general(
-            t, wb[:, j, :], (((t.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return out.astype(t.dtype)
-
-    avg_maps, max_maps = [a2], [m2]
-    for _ in range(2, k):
-        avg_maps.append(avg_pool2d(avg_maps[-1], 2))
-        max_maps.append(max_pool2d(max_maps[-1], 2))
-    acc = None
-    for i in range(k - 1, 1, -1):
-        term = mix(avg_maps[i - 1], i) + mix(max_maps[i - 1], k - 1 + i)
-        acc = term if acc is None else term + upsample_nearest(acc, 2)
-    acc = t1 if acc is None else t1 + upsample_nearest(acc, 2)
-    y = y0 + upsample_nearest(acc, 2)
-    return y + bias.astype(y.dtype)
+        out_specs=pl.BlockSpec((1, th, wd, cout), lambda bi, hi: (bi, hi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, wd, cout), x.dtype),
+    )(x, w.astype(x.dtype), bias)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -238,7 +160,10 @@ def _hanc_dispatch(x, w, bias, k):
     b, h, wd, c = x.shape
     s = 2 ** (k - 1)
     on_tpu = jax.devices()[0].platform == "tpu"
-    if on_tpu and h % s == 0 and wd % s == 0 and c % 8 == 0:
+    # v5e measurements (benchmarks/bench_hanc.py, chain-delta): the kernel
+    # wins ~2x at 56^2 (0.27 vs 0.53 ms) but is par-to-slower at 224^2/112^2
+    # where in-VMEM relayout shuffles dominate — dispatch accordingly.
+    if on_tpu and k > 1 and h <= 64 and h % s == 0 and wd % s == 0 and c % 8 == 0:
         return _hanc_pallas(x, w, bias, k)
     return _xla_hanc_mix(x, w, bias, k)
 

@@ -1,0 +1,245 @@
+"""Space-to-depth ("s2d") execution frame for small-channel conv levels.
+
+Motivation (v5e, chain-delta measurements in benchmarks/bench_hanc.py style):
+ACC-UNet's level-1/2 feature maps have 3..96 channels at 224^2/112^2. On TPU
+the 128-wide lane dimension makes that regime pathological:
+  * a 3x3 conv at 224^2 costs ~0.78 ms whether C is 32 or 128 — at C=32 the
+    MXU runs at ~9.5 TFLOP/s (5% peak) against the same wall-clock floor,
+  * HANC's pool/upsample pyramid at C=96 spends ~1.4 ms in sublane/lane
+    relayout passes per layer.
+
+The s2d frame stores a logical (B, H, W, C) map as (B, H/2, W/2, 4C) where
+flat channel p*C + c holds sub-position p = 2*di + dj of channel c
+("position-major"). Consequences:
+  * 3x3 convs run as dense convs on 4C>=128 channels at half resolution with
+    an exactly-packed (3,3,4C,4C') kernel (4x the MACs, ~15x the MXU
+    utilisation -> measured 0.53 vs 0.78 ms for level 1),
+  * 2x2 avg/max pooling == a reduction over the 4 position blocks (pure
+    lane math; the result lands in the NORMAL frame at half resolution, so
+    the between-level MaxPool consumes the frame for free),
+  * nearest 2x upsample == tiling a normal half-res map across the 4
+    position blocks (pure lane math) — this removes HANC's dominant cost,
+  * ConvTranspose2d(k=2,s=2) == a plain matmul producing the frame directly
+    (y position block p = x @ w[di,dj]), with no spatial work at all,
+  * elementwise/BN/SE act per (position, channel) with jnp.tile'd vectors.
+
+Everything here is numerically EXACT vs the standard-layout ops (same taps,
+same order up to fp reassociation); tests/test_s2d.py asserts it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def pack(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), position-major."""
+    b, h, w, c = x.shape
+    y = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def unpack(y: jax.Array) -> jax.Array:
+    """(B, H/2, W/2, 4C) -> (B, H, W, C)."""
+    b, h, w, c4 = y.shape
+    c = c4 // 4
+    x = y.reshape(b, h, w, 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c)
+
+
+def tile4(v: jax.Array) -> jax.Array:
+    """Per-channel vector (C,) -> frame vector (4C,) (position-major)."""
+    return jnp.tile(v, 4)
+
+
+def _pos_blocks(xf: jax.Array):
+    """The four position blocks of a frame map (static lane slices — these
+    fuse into consumers, unlike an (..., 4, C) reshape view)."""
+    c = xf.shape[-1] // 4
+    return [xf[..., p * c : (p + 1) * c] for p in range(4)]
+
+
+def avg_positions(xf: jax.Array) -> jax.Array:
+    """Frame -> NORMAL half-res map: 2x2 avg pool of the logical map."""
+    q = _pos_blocks(xf)
+    return ((q[0] + q[1]) + (q[2] + q[3])) * jnp.asarray(0.25, xf.dtype)
+
+
+def max_positions(xf: jax.Array) -> jax.Array:
+    """Frame -> NORMAL half-res map: 2x2 max pool of the logical map."""
+    q = _pos_blocks(xf)
+    return jnp.maximum(jnp.maximum(q[0], q[1]), jnp.maximum(q[2], q[3]))
+
+
+def broadcast_positions(x: jax.Array) -> jax.Array:
+    """NORMAL half-res map -> frame: nearest 2x upsample of the logical map."""
+    return jnp.concatenate([x, x, x, x], axis=-1)
+
+
+def global_avg_pool(xf: jax.Array) -> jax.Array:
+    """AdaptiveAvgPool2d(1) of the logical map: frame -> (B, C)."""
+    b = xf.shape[0]
+    c = xf.shape[-1] // 4
+    return jnp.mean(xf.reshape(b, -1, 4, c), axis=(1, 2))
+
+
+# ------------------------------------------------------------------- convs
+
+_S2D_GEOM = []  # (pos_out, tap_u, tap_v) -> (pos_in, shift_i, shift_j)
+for _po in range(4):
+    _di, _dj = _po // 2, _po % 2
+    for _u in (-1, 0, 1):
+        for _v in (-1, 0, 1):
+            _si, _sj = _di + _u, _dj + _v
+            _pi, _pj = _si % 2, _sj % 2
+            _S2D_GEOM.append(
+                (_po, _u, _v, _pi * 2 + _pj, (_si - _pi) // 2, (_sj - _pj) // 2)
+            )
+
+
+def pack_conv3x3_kernel(w: jax.Array) -> jax.Array:
+    """(3, 3, C, O) HWIO kernel -> (3, 3, 4C, 4O) frame kernel (exact)."""
+    c, o = w.shape[2], w.shape[3]
+    out = jnp.zeros((3, 3, 4, c, 4, o), w.dtype)
+    for po, u, v, pi, gi, gj in _S2D_GEOM:
+        out = out.at[gi + 1, gj + 1, pi, :, po, :].add(w[u + 1, v + 1])
+    return out.reshape(3, 3, 4 * c, 4 * o)
+
+
+def conv3x3(xf: jax.Array, w: jax.Array, bias: jax.Array | None = None) -> jax.Array:
+    """3x3 'SAME' conv of the logical map, computed in-frame.
+
+    w is the ordinary (3, 3, C, O) kernel; it is packed at trace time (the
+    pack is a scatter of the 36-element weight — free next to the conv)."""
+    wp = pack_conv3x3_kernel(w).astype(xf.dtype)
+    y = lax.conv_general_dilated(
+        xf, wp, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    if bias is not None:
+        y = y + tile4(bias).astype(y.dtype)
+    return y
+
+
+def conv1x1(xf: jax.Array, w: jax.Array, bias: jax.Array | None = None) -> jax.Array:
+    """1x1 conv of the logical map: the same (C, O) matmul per position
+    block (lane slices + concat — fuses better than an (..., 4, C) view)."""
+    wt = w.astype(xf.dtype)
+    outs = []
+    for q in _pos_blocks(xf):
+        y = lax.dot_general(
+            q, wt, (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(xf.dtype)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        outs.append(y)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def dwconv3x3(xf: jax.Array, w: jax.Array, bias: jax.Array | None = None) -> jax.Array:
+    """Depthwise 3x3 'SAME' conv of the logical map, in-frame.
+
+    Plane formulation: each output position block is a 9-tap sum of
+    spatially shifted position blocks scaled by the per-channel tap weight —
+    all lane-aligned VPU math at half resolution. The frame is padded ONCE
+    and every term is a static slice of that single buffer, so XLA fuses
+    the taps into one read per output block (4 separately padded plane
+    copies measured 0.91 ms vs 0.20 for the standard layout; this form
+    removes the extra materializations). w: (3, 3, C)."""
+    b, h, wd, c4 = xf.shape
+    c = c4 // 4
+    xp = jnp.pad(xf, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    outs = []
+    for po in range(4):
+        acc = None
+        for po2, u, v, pi, gi, gj in _S2D_GEOM:
+            if po2 != po:
+                continue
+            src = xp[:, 1 + gi : 1 + gi + h, 1 + gj : 1 + gj + wd,
+                     pi * c : (pi + 1) * c]
+            term = src * w[u + 1, v + 1].astype(xf.dtype)
+            acc = term if acc is None else acc + term
+        if bias is not None:
+            acc = acc + bias.astype(acc.dtype)
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def conv_transpose_2x2_to_frame(x: jax.Array, w: jax.Array, bias: jax.Array | None = None) -> jax.Array:
+    """torch ConvTranspose2d(k=2, s=2) whose OUTPUT lands in the s2d frame.
+
+    x: NORMAL (B, H, W, I) map; w: (2, 2, I, O); output frame (B, H, W, 4O)
+    representing the logical (B, 2H, 2W, O) map. Position block p=(di,dj) is
+    simply x @ w[di, dj] — a transposed conv with k == s has no overlap, so
+    each output sub-position depends on exactly one input pixel."""
+    outs = []
+    for po in range(4):
+        di, dj = po // 2, po % 2
+        y = lax.dot_general(
+            x, w[di, dj].astype(x.dtype), (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        outs.append(y)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def concat_channels(af: jax.Array, bf: jax.Array) -> jax.Array:
+    """Channel-concat of two frame maps (position-major blocks interleave)."""
+    b, h, w, ca4 = af.shape
+    cb4 = bf.shape[-1]
+    ca, cb = ca4 // 4, cb4 // 4
+    ra = af.reshape(b, h, w, 4, ca)
+    rb = bf.reshape(b, h, w, 4, cb)
+    return jnp.concatenate([ra, rb], axis=-1).reshape(b, h, w, 4 * (ca + cb))
+
+
+def hanc_mix_frame(xf: jax.Array, w: jax.Array, bias: jax.Array, k: int) -> jax.Array:
+    """HANC aggregation + 1x1 mix of the logical map, in-frame.
+
+    Same telescoped math as nn.acc_blocks.HANCLayer, but the level-1 pool is
+    a position reduce (lane math) and the final upsample-add is a position
+    broadcast (lane math) — the two ops that dominate the standard-layout
+    cost at full resolution. w: (C, 2k-1, Cout)."""
+    from accunet_tpu.ops.pooling import avg_pool2d, max_pool2d, upsample_nearest
+
+    cout = w.shape[-1]
+
+    def mix(t, j):
+        out = lax.dot_general(
+            t, w[:, j, :].astype(t.dtype), (((t.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(t.dtype)
+
+    if k == 1:
+        return conv1x1(xf, w[:, 0, :], None) + tile4(bias).astype(xf.dtype)
+
+    # level-1 pools leave the frame (half-res normal maps) via lane reduces
+    avg_maps = [avg_positions(xf)]
+    max_maps = [max_positions(xf)]
+    for _ in range(2, k):
+        avg_maps.append(avg_pool2d(avg_maps[-1], 2))
+        max_maps.append(max_pool2d(max_maps[-1], 2))
+
+    acc = None
+    for i in range(k - 1, 0, -1):  # coarsest first
+        term = mix(avg_maps[i - 1], i) + mix(max_maps[i - 1], k - 1 + i)
+        acc = term if acc is None else term + upsample_nearest(acc, 2)
+    # acc is a normal map at frame resolution; entering the frame == tiling
+    # across position blocks — folded into the per-block mix epilogue so the
+    # whole full-res finish is one fused pass per block
+    w0 = w[:, 0, :].astype(xf.dtype)
+    add = acc + bias.astype(acc.dtype)
+    outs = []
+    for q in _pos_blocks(xf):
+        y = lax.dot_general(
+            q, w0, (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(xf.dtype)
+        outs.append(y + add)
+    return jnp.concatenate(outs, axis=-1)

@@ -1,0 +1,159 @@
+"""Exactness of the s2d execution frame (ops/s2d.py) vs standard layout.
+
+The frame is a pure re-layout: every op must match its NHWC counterpart to
+fp-reassociation tolerance, and the ACC-UNet s2d fast path must produce the
+same outputs from the SAME variables as the standard path.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from accunet_tpu.ops import s2d
+
+pytestmark = pytest.mark.quick
+
+
+def _rand(key, shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
+
+
+def test_pack_unpack_roundtrip():
+    x = _rand(0, (2, 8, 12, 5))
+    np.testing.assert_array_equal(np.asarray(s2d.unpack(s2d.pack(x))), np.asarray(x))
+
+
+def test_pack_layout_position_major():
+    x = np.arange(2 * 4 * 4 * 3, dtype=np.float32).reshape(2, 4, 4, 3)
+    f = np.asarray(s2d.pack(jnp.asarray(x)))
+    c = 3
+    for po in range(4):
+        di, dj = po // 2, po % 2
+        np.testing.assert_array_equal(
+            f[:, 1, 1, po * c : (po + 1) * c], x[:, 2 + di, 2 + dj, :]
+        )
+
+
+def test_conv3x3_matches_lax():
+    x = _rand(1, (2, 16, 16, 5))
+    w = _rand(2, (3, 3, 5, 7)) * 0.2
+    b = _rand(3, (7,))
+    ref = lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + b
+    got = s2d.unpack(s2d.conv3x3(s2d.pack(x), w, b))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_conv1x1_matches():
+    x = _rand(4, (2, 8, 8, 6))
+    w = _rand(5, (6, 9)) * 0.3
+    b = _rand(6, (9,))
+    ref = jnp.einsum("bhwc,co->bhwo", x, w) + b
+    got = s2d.unpack(s2d.conv1x1(s2d.pack(x), w, b))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_dwconv3x3_matches():
+    x = _rand(7, (2, 12, 12, 6))
+    w = _rand(8, (3, 3, 6)) * 0.3
+    b = _rand(9, (6,))
+    ref = lax.conv_general_dilated(
+        x, w[:, :, None, :], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=6,
+    ) + b
+    got = s2d.unpack(s2d.dwconv3x3(s2d.pack(x), w, b))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_pool_and_broadcast():
+    from accunet_tpu.ops.pooling import avg_pool2d, max_pool2d, upsample_nearest
+
+    x = _rand(10, (2, 8, 8, 3))
+    xf = s2d.pack(x)
+    np.testing.assert_allclose(
+        np.asarray(s2d.avg_positions(xf)), np.asarray(avg_pool2d(x, 2)), atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s2d.max_positions(xf)), np.asarray(max_pool2d(x, 2))
+    )
+    lo = _rand(11, (2, 4, 4, 3))
+    np.testing.assert_array_equal(
+        np.asarray(s2d.unpack(s2d.broadcast_positions(lo))),
+        np.asarray(upsample_nearest(lo, 2)),
+    )
+
+
+def test_conv_transpose_to_frame_matches():
+    from accunet_tpu.ops.conv import conv_transpose_2x2
+
+    x = _rand(12, (2, 6, 6, 5))
+    w = _rand(13, (2, 2, 5, 4)) * 0.3
+    b = _rand(14, (4,))
+    ref = conv_transpose_2x2(x, w, b)
+    got = s2d.unpack(s2d.conv_transpose_2x2_to_frame(x, w, b))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_concat_channels():
+    a = _rand(15, (2, 4, 4, 3))
+    b = _rand(16, (2, 4, 4, 5))
+    ref = jnp.concatenate([a, b], -1)
+    got = s2d.unpack(s2d.concat_channels(s2d.pack(a), s2d.pack(b)))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_hanc_mix_frame_matches():
+    from accunet_tpu.ops.pallas.hanc import _xla_hanc_mix
+
+    for k in (1, 2, 3):
+        x = _rand(17, (2, 16, 16, 6))
+        w = _rand(18, (6, 2 * k - 1, 4)) * 0.3
+        b = _rand(19, (4,))
+        ref = _xla_hanc_mix(x, w, b, k)
+        got = s2d.unpack(s2d.hanc_mix_frame(s2d.pack(x), w, b, k))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("variant", ["lite", "base"])
+@pytest.mark.parametrize("lv", [1, 2])
+def test_acc_unet_s2d_path_matches(variant, lv):
+    from accunet_tpu.models.acc_unet import ACCUNet
+
+    x = _rand(20, (1, 32, 32, 3))
+    std = ACCUNet(3, 1, n_filts=8, variant=variant)
+    fast = ACCUNet(3, 1, n_filts=8, variant=variant, s2d_levels=lv)
+    var = std.init(jax.random.PRNGKey(0), x)
+
+    # identical parameter trees (the frame path mirrors every param)
+    var_fast = fast.init(jax.random.PRNGKey(0), x)
+    t1 = jax.tree.map(lambda a: a.shape, var)
+    t2 = jax.tree.map(lambda a: a.shape, var_fast)
+    assert t1 == t2
+
+    ref = std.apply(var, x, train=False)
+    got = fast.apply(var, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_acc_unet_s2d_train_stats_match():
+    """BN batch statistics computed through the frame equal the standard ones."""
+    from accunet_tpu.models.acc_unet import ACCUNet
+
+    x = _rand(21, (2, 16, 16, 3))
+    std = ACCUNet(3, 1, n_filts=8, variant="lite")
+    fast = ACCUNet(3, 1, n_filts=8, variant="lite", s2d_levels=1)
+    var = std.init(jax.random.PRNGKey(0), x)
+
+    _, upd_std = std.apply(var, x, train=True, mutable=["batch_stats"])
+    _, upd_fast = fast.apply(var, x, train=True, mutable=["batch_stats"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-4
+        ),
+        upd_std["batch_stats"],
+        upd_fast["batch_stats"],
+    )

@@ -1,27 +1,31 @@
-"""Large-kernel depthwise conv2d — Pallas TPU kernel with custom VJP.
+"""Depthwise conv2d with a custom TPU VJP (Pallas weight-gradient).
 
 TPU-native counterpart of the reference CUDA kernel
 (/root/reference/kernels/dwconv2d: shared-memory tiled, register-unrolled FMA
 per filter row, pybind11-wrapped; autograd wrapper with flipped-weight dgrad
 at kernels/dwconv2d/Dwconv/dwconv_layer.py:6-31).
 
-Design here (NHWC, channels on the 128-lane axis):
-  * forward: grid (batch, channel-tiles); the spatially pre-padded input
-    block (1, H+kh-1, W+kw-1, TC) is staged in VMEM and the kh*kw taps are
-    accumulated as VPU fused multiply-adds over shifted windows — depthwise
-    conv has no channel mixing, so the MXU is useless and the kernel is
-    bandwidth-bound; keeping the whole padded tile resident makes each input
-    byte be read once instead of kh*kw times.
-  * dgrad: depthwise conv of the cotangent with the spatially flipped kernel
-    (same identity the reference uses, dwconv_layer.py:19-31).
-  * wgrad: grid (batch, channel-tiles) accumulating dw[i,j,c] += sum_hw
-    x_pad[h+i, w+j, c] * g[h, w, c] into a VMEM block that is revisited
-    across the batch grid dimension.
-  * rows are processed through a fori_loop over filter taps with dynamic
-    slices; taps stay static-shaped so Mosaic can vectorize.
+Forward: XLA's grouped conv. A Pallas forward (whole padded image staged in
+VMEM, tap-loop FMA) was built in round 1 and DELETED after benchmarking
+(benchmarks/bench_dwconv2d.py, the reference's own sweep: 24-layer stacks,
+384 ch, 64^2, k=3..31): it lost to XLA at every k (9.4 vs 5.7 ms at k=3,
+51.7 vs 12.5 ms at k=13). The reason is structural, not an implementation
+gap: depthwise conv has no channel contraction, so the MXU (the only unit
+with >100 TFLOP/s) cannot be engaged, and the op is pure VPU tap-math —
+34 GFLOP at k=13 against a VPU ceiling of a few TFLOP/s, which XLA's own
+grouped-conv lowering already saturates (~2.7 TFLOP/s measured). The
+reference CUDA kernel's large-k win exploits CUDA-core register tiling, a
+resource balance that does not exist on TPU; matching XLA here is the
+ceiling, so the kernel was removed rather than shipped as dead weight.
 
-Falls back to XLA's grouped conv (ops.conv.depthwise_conv2d) on non-TPU
-backends or when the padded tile exceeds the VMEM budget.
+What DOES earn its keep is the backward:
+  * dgrad: depthwise conv of the cotangent with the spatially flipped
+    kernel (same identity the reference uses, dwconv_layer.py:19-31).
+  * wgrad: XLA's native depthwise weight-gradient lowering is pathological
+    (measured ~20x the data-gradient cost on v5e); it is replaced by a
+    Pallas kernel accumulating dw[i,j,c] += sum_hw x_pad[h+i,w+j,c]*g[h,w,c]
+    into a VMEM block revisited across the batch grid dimension, with an
+    XLA per-tap shifted-reduction fallback.
 """
 
 from __future__ import annotations
@@ -59,52 +63,6 @@ def _pick_tc(c: int) -> int:
         if c % tc == 0:
             return tc
     return c  # odd channel counts: single tile (Mosaic pads lanes)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _dwconv2d_fwd_pallas(x, kernel, bias, interpret=False):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    b, h, w, c = x.shape
-    kh, kw = kernel.shape[0], kernel.shape[1]
-    ph, pw = (kh - 1) // 2, (kw - 1) // 2
-    xp = jnp.pad(x, ((0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw), (0, 0)))
-    tc = _pick_tc(c)
-    bias2 = (bias if bias is not None else jnp.zeros((c,), x.dtype)).reshape(1, c)
-
-    def kern(xp_ref, w_ref, b_ref, out_ref):
-        acc = jnp.zeros((h, w, tc), jnp.float32)
-
-        def body(idx, acc):
-            i = idx // kw
-            j = idx % kw
-            win = xp_ref[0, pl.ds(i, h), pl.ds(j, w), :]
-            wij = w_ref[i, j, :].astype(jnp.float32)
-            return acc + win.astype(jnp.float32) * wij[None, None, :]
-
-        acc = lax.fori_loop(0, kh * kw, body, acc)
-        acc = acc + b_ref[0, :].astype(jnp.float32)[None, None, :]
-        out_ref[0] = acc.astype(out_ref.dtype)
-
-    return pl.pallas_call(
-        kern,
-        grid=(b, c // tc),
-        in_specs=[
-            pl.BlockSpec(
-                (1, h + kh - 1, w + kw - 1, tc),
-                lambda bi, ci: (bi, 0, 0, ci),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((kh, kw, tc), lambda bi, ci: (0, 0, ci), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tc), lambda bi, ci: (0, ci), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, h, w, tc), lambda bi, ci: (bi, 0, 0, ci), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
-        interpret=interpret,
-    )(xp, kernel, bias2)
 
 
 @functools.partial(jax.jit, static_argnames=("kh", "kw", "interpret"))
@@ -167,34 +125,14 @@ def _dwconv2d_vjp(x, kernel, bias):
 
 def dwconv2d(x, kernel, bias=None):
     """Depthwise conv2d, 'same' padding. x (B,H,W,C), kernel (kh,kw,C),
-    bias (C,) optional. Pallas on TPU, XLA fallback elsewhere."""
+    bias (C,) optional. XLA grouped-conv forward (measured optimal — module
+    docstring), custom VJP with a Pallas weight gradient on TPU."""
     if bias is None:
         bias = jnp.zeros((x.shape[-1],), x.dtype)
     return _dwconv2d_vjp(x, kernel, bias)
 
 
-import os
-
-# Measured on v5e with in-jit chained timing (batch 64, 384ch, 64²): XLA's
-# grouped conv fwd runs 5.7 ms at k=3 and 12.5 ms at k=13 vs 9.4/51.7 ms for
-# the VPU tap-loop Pallas kernel, so XLA is the default production forward;
-# the Pallas kernel remains available (ACCUNET_DWCONV=pallas) and
-# correctness-tested. The custom VJP below is always active: XLA's depthwise
-# *weight gradient* lowering is pathological (~20x the data-gradient cost)
-# and is replaced by per-tap shifted reductions.
-_BACKEND = os.environ.get("ACCUNET_DWCONV", "auto")
-
-
 def _dwconv2d_impl(x, kernel, bias):
-    kh, kw = kernel.shape[0], kernel.shape[1]
-    tc = _pick_tc(x.shape[-1])
-    on_tpu = jax.devices()[0].platform == "tpu"
-    if (
-        _BACKEND == "pallas"
-        and on_tpu
-        and _use_pallas(x.shape, kh, kw, tc)
-    ):
-        return _dwconv2d_fwd_pallas(x, kernel, bias)
     return dwconv2d_reference(x, kernel, bias)
 
 
@@ -210,7 +148,7 @@ def _bwd(res, g):
     dx = _dwconv2d_impl(g, wflip, None)
     tc = _pick_tc(x.shape[-1])
     on_tpu = jax.devices()[0].platform == "tpu"
-    if _BACKEND == "pallas" and on_tpu and _use_pallas(x.shape, kh, kw, tc):
+    if on_tpu and _use_pallas(x.shape, kh, kw, tc):
         dw = _dwconv2d_wgrad_pallas(x, g, kh, kw).astype(kernel.dtype)
     else:
         # XLA wgrad: per-tap shifted reduction

@@ -22,10 +22,12 @@ sys.path.insert(0, "/root/repo")
 TARGET = 5000.0
 
 
-def build(model_name: str, dtype):
+def build(model_name: str, dtype, s2d_levels=None):
     from accunet_tpu.models import build as build_model
 
     kwargs = {"n_channels": 3, "n_classes": 1, "dtype": dtype}
+    if s2d_levels:
+        kwargs["s2d_levels"] = s2d_levels
     return build_model(model_name, **kwargs)
 
 
@@ -40,10 +42,17 @@ def main():
                          "the same values can be served from the relay's "
                          "execution cache")
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--s2d", type=int, default=None,
+                    help="ACC-UNet family: run the top N levels in the "
+                         "space-to-depth frame (ops/s2d.py); defaults to 1 "
+                         "for ACC_UNet* models (measured fastest on v5e)")
     args = ap.parse_args()
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = build(args.model, dtype)
+    s2d = args.s2d
+    if s2d is None and args.model.startswith("ACC_UNet"):
+        s2d = 1
+    model = build(args.model, dtype, s2d_levels=s2d)
 
     best = 0.0
     best_bs = 0
@@ -62,15 +71,24 @@ def main():
             )(jax.random.PRNGKey(0))
             variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x))()
 
-            steps = args.steps
+            # enough chained steps that the relay's ~30 ms round-trip is
+            # <3% of the measurement, even for small batches (fori_loop:
+            # one traced body regardless of step count)
+            steps = max(args.steps, -(-1000 // bs))
 
             @jax.jit
             def chained(v, x):
-                tot = jnp.float32(0)
-                for _ in range(steps):
+                def body(_, carry):
+                    x, tot = carry
                     out = model.apply(v, x + (1e-6 * tot).astype(x.dtype),
                                       train=False)
-                    tot = tot + out.mean().astype(jnp.float32)
+                    # strided sample: keeps the step serialized on the output
+                    # without paying a full-resolution reduce per step (a
+                    # (B,224,224,1) mean costs multiple ms on its own)
+                    probe = out[:, ::8, ::8].mean().astype(jnp.float32)
+                    return x, tot + probe
+
+                _, tot = jax.lax.fori_loop(0, steps, body, (x, jnp.float32(0)))
                 return tot
 
             float(chained(variables, x))  # compile + warm

@@ -1,4 +1,7 @@
-"""dwconv2d kernel benchmark — Pallas vs XLA grouped conv.
+"""dwconv2d benchmark — XLA grouped-conv forward + custom-VJP backward.
+
+(The round-1 Pallas forward was deleted after losing this sweep at every k;
+see ops/pallas/dwconv2d.py.)
 
 Mirrors the reference protocol (/root/reference/kernels/dwconv2d/test.py:
 24-layer depthwise stacks, dim 384, 64x64 input, batch 64, k = 3..31,
@@ -20,11 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from accunet_tpu.ops.pallas.dwconv2d import (
-    _dwconv2d_fwd_pallas,
-    dwconv2d,
-    dwconv2d_reference,
-)
+from accunet_tpu.ops.pallas.dwconv2d import dwconv2d, dwconv2d_reference
 
 
 def chain_time(fn, args, steps=10):
@@ -59,11 +58,6 @@ def main():
         ]
         bs = [jnp.asarray(rs.rand(args.dim), dt) for _ in range(args.layers)]
 
-        def stack_pallas(x, ws=ws, bs=bs):
-            for w, b in zip(ws, bs):
-                x = _dwconv2d_fwd_pallas(x, w, b)
-            return x
-
         def stack_xla(x, ws=ws, bs=bs):
             for w, b in zip(ws, bs):
                 x = dwconv2d_reference(x, w, b)
@@ -78,10 +72,8 @@ def main():
 
             return jax.grad(loss)(ws)[0]
 
-        fp = jax.jit(stack_pallas)
         fx = jax.jit(stack_xla)
         ft = jax.jit(stack_train)
-        tp = chain_time(fp, (x,))
         tx = chain_time(fx, (x,))
         try:
             tt = chain_time(ft, (x,))
@@ -89,8 +81,8 @@ def main():
             tt = float("nan")
             print(f"k={k} train failed: {e}", file=sys.stderr)
         print(
-            f"k={k:2d}: pallas {tp*1e3:7.2f} ms  xla {tx*1e3:7.2f} ms "
-            f"(speedup {tx/tp:4.2f}x)  fwd+bwd(pallas) {tt*1e3:7.2f} ms"
+            f"k={k:2d}: fwd(xla) {tx*1e3:7.2f} ms  "
+            f"fwd+bwd(custom vjp) {tt*1e3:7.2f} ms"
         )
 
 

@@ -12,22 +12,15 @@ import jax
 import jax.numpy as jnp
 
 from accunet_tpu.ops.pallas.dwconv2d import (
-    _dwconv2d_fwd_pallas,
     _dwconv2d_wgrad_pallas,
     dwconv2d,
     dwconv2d_reference,
 )
 
-
-@pytest.mark.parametrize("k", [3, 7, 11])
-def test_pallas_fwd_matches_lax(k):
-    rs = np.random.RandomState(0)
-    x = jnp.asarray(rs.rand(2, 16, 16, 256).astype(np.float32))
-    w = jnp.asarray(rs.rand(k, k, 256).astype(np.float32) - 0.5)
-    b = jnp.asarray(rs.rand(256).astype(np.float32))
-    want = dwconv2d_reference(x, w, b)
-    got = _dwconv2d_fwd_pallas(x, w, b, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+# NOTE: round 1 also shipped a Pallas *forward*; it lost to XLA's grouped
+# conv at every k in the reference's own sweep and was deleted in round 2
+# (rationale in ops/pallas/dwconv2d.py's module docstring). The custom VJP
+# (flipped-kernel dgrad + Pallas wgrad) remains and is tested below.
 
 
 def test_pallas_wgrad_matches_autodiff():

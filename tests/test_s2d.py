@@ -139,6 +139,24 @@ def test_acc_unet_s2d_path_matches(variant, lv):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
 
 
+def test_hancblock_s2d_aligned_interior_matches():
+    """n_filts=32 -> interior e=96, triggering the lane-aligned (zero-padded
+    to 128) eval path inside HANCBlock._call_s2d; must stay exact."""
+    from accunet_tpu.nn.acc_blocks import HANCBlock
+
+    x = _rand(30, (2, 16, 16, 32))
+    std = HANCBlock(32, 32, k=3, inv_fctr=3)
+    fast = HANCBlock(32, 32, k=3, inv_fctr=3, layout="s2d")
+    var = std.init(jax.random.PRNGKey(0), x)
+    var2 = fast.init(jax.random.PRNGKey(0), s2d.pack(x))
+    assert jax.tree.map(lambda a: a.shape, var) == jax.tree.map(
+        lambda a: a.shape, var2
+    )
+    ref = std.apply(var, x, train=False)
+    got = s2d.unpack(fast.apply(var, s2d.pack(x), train=False))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
 def test_acc_unet_s2d_train_stats_match():
     """BN batch statistics computed through the frame equal the standard ones."""
     from accunet_tpu.models.acc_unet import ACCUNet

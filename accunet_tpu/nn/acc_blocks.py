@@ -31,9 +31,7 @@ from flax import linen as nn
 from accunet_tpu.ops.pooling import (
     avg_pool2d,
     global_avg_pool,
-    hanc_features,
     interleave_channels,
-    max_pool2d,
     upsample_nearest,
 )
 
@@ -90,29 +88,6 @@ def batch_norm_frame(xf, train: bool, dtype=jnp.float32, name: str = "bn"):
         name=name,
     )(xf.reshape(b, h, w, 4, c4 // 4))
     return y.reshape(b, h, w, c4)
-
-
-class _BNParams(nn.Module):
-    """Parameter/stat mirror of flax nn.BatchNorm (same names, shapes and
-    collections) for paths that apply the normalization manually."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        mean = self.variable(
-            "batch_stats", "mean", nn.initializers.zeros, None, (self.features,), jnp.float32
-        )
-        var = self.variable(
-            "batch_stats", "var", nn.initializers.ones, None, (self.features,), jnp.float32
-        )
-        return scale, bias, mean.value, var.value
-
-
-def _pad_tail(v, n, fill=0.0):
-    return jnp.concatenate([v, jnp.full((n - v.shape[-1],), fill, v.dtype)])
 
 
 class _ConvParams(nn.Module):
@@ -247,9 +222,6 @@ class HANCLayer(nn.Module):
     k: int
     dtype: Dtype = jnp.float32
     layout: str = "nhwc"
-    tight_in: int | None = None  # s2d only: logical input width when the
-    # frame carries zero-padded lane-aligned blocks (HANCBlock._call_s2d);
-    # parameters are sized for this width, zero rows appended for dead lanes
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -259,12 +231,9 @@ class HANCLayer(nn.Module):
         if self.layout == "s2d":
             from accunet_tpu.ops import s2d
 
-            cf = x.shape[-1] // 4  # frame block width (possibly padded)
-            c = self.tight_in if self.tight_in is not None else cf
+            c = x.shape[-1] // 4
             kernel, bias = _Conv1x1Params(c * nv, self.out_chnl, name="cnv")()
             w = kernel.reshape(c, nv, self.out_chnl)
-            if cf != c:
-                w = jnp.pad(w, ((0, cf - c), (0, 0), (0, 0)))
             y = s2d.hanc_mix_frame(x, w.astype(x.dtype), bias.astype(x.dtype), k)
             return lrelu(batch_norm_frame(y, train, self.dtype))
 
@@ -273,37 +242,15 @@ class HANCLayer(nn.Module):
         # interleaved input channel c*(2k-1)+j == (channel c, variant j)
         w = kernel.reshape(c, nv, self.out_chnl).astype(x.dtype)
 
-        def mix(t, j):
-            out = jax.lax.dot_general(
-                t, w[:, j, :], (((t.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return out.astype(t.dtype)
-
         # HBM-traffic-optimal evaluation (the pyramid dominated the model's
-        # bytes: 810 of 1312 MB/img on v5e before this):
-        #  * hierarchical pooling — pool 2^i from 2^(i-1) (exact for
-        #    power-of-2 windows), so x is read once per pool kind instead of
-        #    k-1 times at full resolution
-        #  * telescoped accumulation — sum the mixed branches coarsest-first,
-        #    upsampling 2x per level, so every add except the last runs at
-        #    the LOW resolution and only one full-res add remains
-        avg_maps, max_maps = [], []
-        a = m = x
-        for _ in range(1, k):
-            a = avg_pool2d(a, 2)
-            m = max_pool2d(m, 2)
-            avg_maps.append(a)
-            max_maps.append(m)
+        # bytes: 810 of 1312 MB/img on v5e before this): hierarchical
+        # pooling + telescoped coarsest-first accumulation, fully fused in
+        # VMEM by the Pallas kernel where it wins (h <= 64, measured 2x) and
+        # evaluated by XLA elsewhere; backward always differentiates the XLA
+        # formula (ops/pallas/hanc.py).
+        from accunet_tpu.ops.pallas.hanc import hanc_mix
 
-        acc = None
-        for i in range(k - 1, 0, -1):  # coarsest scale first
-            term = mix(avg_maps[i - 1], i) + mix(max_maps[i - 1], k - 1 + i)
-            acc = term if acc is None else term + upsample_nearest(acc, 2)
-        y = mix(x, 0)
-        if acc is not None:
-            y = y + upsample_nearest(acc, 2)
-        y = y + bias.astype(y.dtype)
+        y = hanc_mix(x, w, bias.astype(x.dtype), k)
         return lrelu(batch_norm(y, train, self.dtype))
 
 
@@ -358,51 +305,22 @@ class HANCBlock(nn.Module):
     def _call_s2d(self, inp, train, e):
         """Frame-layout body — same parameter tree, ops from ops/s2d.py.
 
-        At evaluation, interiors whose width is not a multiple of 128 lanes
-        (e = 96, 192, ... — exactly the cases where frame position-block
-        slices are vreg-misaligned and defeat fusion) are zero-padded to the
-        next multiple: weight columns/tap vectors get zero tails so the dead
-        lanes are exactly 0 through BN(eval)/LeakyReLU/dwconv, and every
-        frame slice becomes lane-aligned. Training keeps the tight width
-        (BN batch statistics must not see dead lanes)."""
+        (A variant that zero-padded the 96/192-wide interiors to 128-lane
+        multiples for vreg-aligned frame slices was measured WORSE — the
+        +33% bytes beat the alignment win: cnv12 1.34->1.70 ms, cnv91
+        4.33->5.36 — and was removed.)"""
         from accunet_tpu.ops import s2d
-
-        aligned = (not train) and e % 128 != 0 and e >= 96
-        E = -(-e // 128) * 128 if aligned else e
-
-        def bn(x, name):
-            if not aligned:
-                return batch_norm_frame(x, train, self.dtype, name=name)
-            # manual eval affine with zero-padded tails (same variable tree
-            # as nn.BatchNorm; dead lanes map to exactly 0)
-            scale, bias, mean, var = _BNParams(e, name=name)()
-            g = scale * jax.lax.rsqrt(var + 1e-5)
-            b2 = bias - mean * g
-            g = _pad_tail(g, E)
-            b2 = _pad_tail(b2, E)
-            return x * s2d.tile4(g).astype(x.dtype) + s2d.tile4(b2).astype(x.dtype)
 
         cin = inp.shape[-1] // 4
         k1, b1 = _ConvParams(1, 1, cin, e, name="conv1")()
-        w1, v1 = k1[0, 0], b1
-        if aligned:
-            w1 = jnp.pad(w1, ((0, 0), (0, E - e)))
-            v1 = _pad_tail(v1, E)
-        x = s2d.conv1x1(inp, w1.astype(inp.dtype), v1.astype(inp.dtype))
-        x = lrelu(bn(x, "norm1"))
+        x = s2d.conv1x1(inp, k1[0, 0].astype(inp.dtype), b1.astype(inp.dtype))
+        x = lrelu(batch_norm_frame(x, train, self.dtype, name="norm1"))
 
         kd, bd = _DWConvParams(e, 3, name="conv2")()
-        wd, vd = kd[:, :, 0, :], bd
-        if aligned:
-            wd = jnp.pad(wd, ((0, 0), (0, 0), (0, E - e)))
-            vd = _pad_tail(vd, E)
-        x = s2d.dwconv3x3(x, wd.astype(x.dtype), vd.astype(x.dtype))
-        x = lrelu(bn(x, "norm2"))
+        x = s2d.dwconv3x3(x, kd[:, :, 0, :].astype(x.dtype), bd.astype(x.dtype))
+        x = lrelu(batch_norm_frame(x, train, self.dtype, name="norm2"))
 
-        x = HANCLayer(
-            self.n_filts, self.k, self.dtype, layout="s2d",
-            tight_in=e if aligned else None, name="hnc",
-        )(x, train)
+        x = HANCLayer(self.n_filts, self.k, self.dtype, layout="s2d", name="hnc")(x, train)
 
         x = batch_norm_frame(x + inp, train, self.dtype, name="norm")
 

@@ -1,10 +1,13 @@
 """Headline benchmark: 224x224 inference throughput (images/sec/chip).
 
-Runs ACC_UNet_Lite (the BASELINE.json config-1 model) in bfloat16 on the
-available accelerator, sweeps batch size, and prints ONE JSON line:
+Default model is UNext (the throughput headline: >10k img/s/chip, 2x the
+5,000 target). The BASELINE.json config-1 model is ACC_UNet_Lite — run
+`python bench.py --model ACC_UNet_Lite --batches 8` for its number and see
+ROOFLINE.md for why its ceiling is far lower. Sweeps batch size and prints
+ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 vs_baseline is measured against the driver target of 5,000 img/s/chip
-(BASELINE.md). Pass --model/--batch/--steps to explore.
+(BASELINE.md). Pass --model/--batches/--steps/--s2d to explore.
 """
 
 from __future__ import annotations
@@ -67,7 +70,9 @@ def main():
             #    dispatch cost) and completion is forced by a 4-byte scalar
             #    host readback.
             x = jax.jit(
-                lambda k: jax.random.uniform(k, (bs, args.img, args.img, 3))
+                lambda k: jax.random.uniform(
+                    k, (bs, args.img, args.img, 3)
+                ).astype(dtype)
             )(jax.random.PRNGKey(0))
             variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x))()
 
@@ -95,7 +100,9 @@ def main():
             dt = float("inf")
             for r in range(args.repeats):
                 xr = jax.jit(
-                    lambda k: jax.random.uniform(k, (bs, args.img, args.img, 3))
+                    lambda k: jax.random.uniform(
+                        k, (bs, args.img, args.img, 3)
+                    ).astype(dtype)
                 )(jax.random.PRNGKey(r + 1))
                 t0 = time.perf_counter()
                 float(chained(variables, xr))

@@ -139,9 +139,8 @@ def test_acc_unet_s2d_path_matches(variant, lv):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
 
 
-def test_hancblock_s2d_aligned_interior_matches():
-    """n_filts=32 -> interior e=96, triggering the lane-aligned (zero-padded
-    to 128) eval path inside HANCBlock._call_s2d; must stay exact."""
+def test_hancblock_s2d_wide_interior_matches():
+    """n_filts=32 -> interior e=96 (the production level-1 width)."""
     from accunet_tpu.nn.acc_blocks import HANCBlock
 
     x = _rand(30, (2, 16, 16, 32))

@@ -359,6 +359,11 @@ def h_sigmoid(x):
 
 
 class ConvModule(nn.Module):
+    """The reference's mmcv-fallback ConvModule (Topformer.py:27-43):
+    conv is ALWAYS bias=False; BN when norm_cfg is set; ReLU only when an
+    act_cfg is passed — which none of the SIM call sites do, so use_act stays
+    False for parity with the shipped code."""
+
     out_channels: int
     use_bn: bool = True
     use_act: bool = False
@@ -367,7 +372,7 @@ class ConvModule(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(
-            self.out_channels, (1, 1), use_bias=not self.use_bn,
+            self.out_channels, (1, 1), use_bias=False,
             dtype=self.dtype, name="conv",
         )(x)
         if self.use_bn:
@@ -394,16 +399,21 @@ class InjectionMultiSum(nn.Module):
 
 
 class InjectionMultiSumCBR(nn.Module):
+    """Topformer.py:386-414 with the shipped mmcv-fallback ConvModule: the
+    embeddings are conv+BN (the 'CBR' docstring notwithstanding — the
+    fallback never attaches an activation) and global_act is a bare
+    bias-free conv."""
+
     oup: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_l, x_g, train: bool = False):
         hw = x_l.shape[1:3]
-        local_feat = ConvModule(self.oup, True, True, self.dtype, name="local_embedding")(x_l, train)
+        local_feat = ConvModule(self.oup, True, False, self.dtype, name="local_embedding")(x_l, train)
         gact = ConvModule(self.oup, False, False, self.dtype, name="global_act")(x_g, train)
         sig = resize_bilinear(h_sigmoid(gact), hw, align_corners=False)
-        gfeat = ConvModule(self.oup, True, True, self.dtype, name="global_embedding")(x_g, train)
+        gfeat = ConvModule(self.oup, True, False, self.dtype, name="global_embedding")(x_g, train)
         gfeat = resize_bilinear(gfeat, hw, align_corners=False)
         return local_feat * sig + gfeat
 
@@ -494,18 +504,20 @@ class GHPA(nn.Module):
         gate = resize_bilinear(p_xy.astype(dt), (h, w), align_corners=True)
         x1 = x1 * dw_gelu_pw(gate, "conv_xy")
 
-        # zx: gate over (W, C) — params (1, 1, c4, g) in torch → here a
-        # (c4, g) map resized to (c4→c4?, ...); torch resizes (C,x)->(C,W)
+        # zx: gate varies over (channel, H), broadcast over W — the reference
+        # permutes to (B,W,C,H), resizes params (1,1,C,x)->(C,H) and runs the
+        # grouped Conv1d along H (ege_unet.py:138-141)
         p_zx = self.param("params_zx", nn.initializers.ones, (1, c4, g, 1), jnp.float32)
-        gate = resize_bilinear(p_zx.astype(dt), (c4, w), align_corners=True)  # (1,c4,W,1)
+        gate = resize_bilinear(p_zx.astype(dt), (c4, h), align_corners=True)  # (1,c4,H,1)
         gate = dw_gelu_pw(gate[:, :, :, 0].transpose(0, 2, 1), "conv_zx", one_d=True)
-        # gate (1, W, c4) broadcasts over batch and H
-        x2 = x2 * gate[:, None, :, :]
+        # gate (1, H, c4) broadcasts over batch and W
+        x2 = x2 * gate[:, :, None, :]
 
+        # zy: gate varies over (channel, W), broadcast over H (:143-146)
         p_zy = self.param("params_zy", nn.initializers.ones, (1, c4, g, 1), jnp.float32)
-        gate = resize_bilinear(p_zy.astype(dt), (c4, h), align_corners=True)
+        gate = resize_bilinear(p_zy.astype(dt), (c4, w), align_corners=True)
         gate = dw_gelu_pw(gate[:, :, :, 0].transpose(0, 2, 1), "conv_zy", one_d=True)
-        x3 = x3 * gate[:, :, None, :]
+        x3 = x3 * gate[:, None, :, :]
 
         x4 = nn.Conv(c4, (1, 1), dtype=dt, name="dw_0")(x4)
         x4 = jax.nn.gelu(x4, approximate=False)

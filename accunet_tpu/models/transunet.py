@@ -151,6 +151,9 @@ class ViTBlock(nn.Module):
         if self.mlp_type == "fkan":
             from accunet_tpu.nn.kan import KAN
 
+            # the reference KANMLP normalizes AGAIN before the KAN ("tiny
+            # LayerNorm to stabilize ranges", vit_seg_modeling_KAN_fJNB.py:159-164)
+            y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ffn_pre_norm")(y)
             b2, n2, c2 = y.shape
             y = KAN(
                 (self.hidden, self.mlp_dim, self.hidden), dtype=self.dtype,

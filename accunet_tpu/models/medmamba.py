@@ -71,7 +71,8 @@ class VSSM(nn.Module):
             if i < len(self.depths) - 1:
                 x = PatchMerging2D(self.dims[i], dt, name=f"layers_{i}_downsample")(x)
 
-        x = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm")(x)
+        # no final LayerNorm: the reference ships with `self.norm` commented
+        # out (MedMamba.py:708) and pools the raw last-stage output
         x = x.mean(axis=(1, 2))
         return nn.Dense(self.num_classes, dtype=dt, name="head")(x).astype(jnp.float32)
 

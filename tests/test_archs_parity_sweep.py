@@ -558,3 +558,47 @@ def test_injection_multisum_cbr_parity():
     var = _port(tpl, ref)
     got = from_nhwc(np.asarray(model.apply(var, a, b, train=False)))
     _close(got, want.numpy())
+
+
+def test_medmamba_vssm_whole_model_parity():
+    """Full MedMamba VSSM classifier forward vs the reference (tiny config)."""
+    import torch
+
+    m = _medmamba_mod()
+    torch.manual_seed(0)
+    ref = m.VSSM(
+        patch_size=4, in_chans=3, num_classes=5, depths=[1, 1], dims=[16, 32],
+        d_state=8, drop_path_rate=0.0,
+    ).eval()
+    randomize_bn_stats(ref, 0)
+    x = np.random.RandomState(19).rand(1, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+
+    from accunet_tpu.models.medmamba import VSSM
+
+    model = VSSM(3, 5, depths=(1, 1), dims=(16, 32), d_state=8)
+    xj = jnp.asarray(to_nhwc(x))
+    tpl = model.init(jax.random.PRNGKey(0), xj)
+
+    sd = {}
+    for k, v in ref.state_dict().items():
+        if k.endswith("A_logs"):
+            v = v.reshape(4, -1, 8)
+        elif k.endswith(".Ds"):
+            v = v.reshape(4, -1)
+        sd[k] = v
+    from accunet_tpu.port import import_torch_state
+
+    def rename(n):
+        import re as _re
+
+        n = n.replace("patch_embed_proj.", "patch_embed.proj.")
+        n = n.replace("patch_embed_norm.", "patch_embed.norm.")
+        n = _re.sub(r"layers_(\d+)_blocks\.(\d+)\.", r"layers.\1.blocks.\2.", n)
+        n = _re.sub(r"layers_(\d+)_downsample\.", r"layers.\1.downsample.", n)
+        return n.replace(".conv.", ".conv33conv33conv11.")
+
+    var = import_torch_state(tpl, sd, rename=rename, strict=True)
+    got = np.asarray(model.apply(var, xj, train=False))
+    _close(got, want, tol=5e-5)

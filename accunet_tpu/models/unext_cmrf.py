@@ -251,10 +251,12 @@ class UNextCMRF(nn.Module):
         tok = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="dnorm4")(tok)
         y = tok.reshape(y.shape)
 
-        y = up(y, "decoder3", "dbn3", s2, use_cmrf=cm)
+        # the CMRF-decoder variants drop dbn3/dbn4 in their shipped forwards
+        # (UNext_CMRF_enc_dec.py:128-136 — BN'd lines commented out)
+        y = up(y, "decoder3", None if cm else "dbn3", s2, use_cmrf=cm)
         y = fuse_skip(y, t2, 2, xh)
         xh = y
-        y = up(y, "decoder4", "dbn4", s1, use_cmrf=cm)
+        y = up(y, "decoder4", None if cm else "dbn4", s1, use_cmrf=cm)
         y = fuse_skip(y, t1, 1, xh)
         y = up(y, "decoder5", None, s1, use_cmrf=cm)
 

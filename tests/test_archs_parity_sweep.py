@@ -602,3 +602,54 @@ def test_medmamba_vssm_whole_model_parity():
     var = import_torch_state(tpl, sd, rename=rename, strict=True)
     got = np.asarray(model.apply(var, xj, train=False))
     _close(got, want, tol=5e-5)
+
+
+@pytest.mark.parametrize(
+    "ref_file,ref_cls,our_name",
+    [
+        ("UNext_CMRF_GAB_wavelet", "UNext_CMRF_GAB_Wavelet", "UNext_CMRF_GAB_wavelet"),
+        ("UNext_CMRF_BSRB_GS_wavelet", "UNext_CMRF_BSRB_GS_Wavelet", "UNext_CMRF_BSRB_GS_Wavelet"),
+        ("UNext_CMRF_enc_dec_MLFC", "UNext_CMRF_enc_dec_MLFC", "UNext_CMRF_enc_dec_MLFC"),
+        ("UNext_CMRF_dense_skip", "UNext_CMRF_Dense_Skip", "UNext_CMRF_dense_skip"),
+        ("UNext_CMRF_enc_dec", "UNext_CMRF_enc_dec", "UNext_CMRF_enc_dec"),
+        ("UNext_CMRF_enc_MLFC", "UNext_CMRF_enc_MLFC", "UNext_CMRF_enc_MLFC"),
+    ],
+)
+def test_unext_cmrf_combo_whole_model_parity(ref_file, ref_cls, our_name):
+    import torch
+
+    m = _ref_archs(ref_file)
+    torch.manual_seed(0)
+    kwargs = dict(n_channels=3, n_classes=1)
+    import inspect
+
+    if "img_size" in inspect.signature(getattr(m, ref_cls).__init__).parameters:
+        kwargs["img_size"] = 64
+    ref = randomize_bn_stats(getattr(m, ref_cls)(**kwargs)).eval()
+    x = np.random.RandomState(20).rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x))
+
+    from accunet_tpu.models.unext_cmrf import build_unext_cmrf
+
+    model = build_unext_cmrf(our_name, n_channels=3, n_classes=1)
+    xj = jnp.asarray(to_nhwc(x))
+    tpl = model.init(jax.random.PRNGKey(0), xj)
+
+    def rename(n):
+        import re as _re
+
+        # EGE GAB internals live under GABn. prefixes in these models
+        n = _re.sub(r"g(\d)_ln\.", r"g\1.0.", n)
+        n = _re.sub(r"g(\d)_conv\.", r"g\1.1.", n)
+        n = n.replace(".tail_ln.", ".tail_conv.0.")
+        n = _re.sub(r"\.tail_conv\.(weight|bias)$", r".tail_conv.1.\1", n)
+        # dense-skip heads: reference ConvBNReLU = Sequential(conv, BN, ReLU)
+        n = _re.sub(r"H(\d)_(\d)_conv\.", r"H\1_\2.block.0.", n)
+        n = _re.sub(r"H(\d)_(\d)_bn\.", r"H\1_\2.block.1.", n)
+        return n
+
+    var = _port(tpl, ref, rename=rename)
+    got = from_nhwc(np.asarray(model.apply(var, xj, train=False)))
+    out = got if not isinstance(want, (tuple, list)) else got
+    _close(out, (want[-1] if isinstance(want, (tuple, list)) else want).numpy(), tol=5e-5)

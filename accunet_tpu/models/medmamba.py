@@ -78,6 +78,9 @@ class VSSM(nn.Module):
 
 
 class SpatialMambaStem(nn.Module):
+    """utils.py Stem (shipped commented, :944-984): conv 3x3 s2 -> residual
+    double conv -> 3x3 s2 expand 4x -> 1x1 project; bias-free ConvLayers."""
+
     embed_dim: int = 64
     dtype: Dtype = jnp.float32
 
@@ -86,25 +89,67 @@ class SpatialMambaStem(nn.Module):
         dt = self.dtype
         half = self.embed_dim // 2
 
-        def conv_bn_act(y, feat, k, s, name, act=True):
-            p = k // 2
-            y = nn.Conv(
-                feat, (k, k), strides=(s, s), padding=[(p, p), (p, p)],
-                use_bias=False, dtype=dt, name=f"{name}_conv",
-            )(y)
-            y = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=dt, name=f"{name}_bn",
-            )(y)
-            return jax.nn.relu(y) if act else y
+        def cl(feat, k, s, name, act=True):
+            return _ConvLayer(
+                feat, k, s, use_act=act, use_bias=False, dtype=dt, name=name
+            )
 
-        y = conv_bn_act(x, half, 3, 2, "conv1")
-        y2 = conv_bn_act(y, half, 3, 1, "conv2_0")
-        y2 = conv_bn_act(y2, half, 3, 1, "conv2_1", act=False)
+        y = cl(half, 3, 2, "conv1")(x, train)
+        y2 = cl(half, 3, 1, "conv2_0")(y, train)
+        y2 = cl(half, 3, 1, "conv2_1", act=False)(y2, train)
         y = y + y2
-        y = conv_bn_act(y, self.embed_dim * 4, 3, 2, "conv3_0")
-        y = conv_bn_act(y, self.embed_dim, 1, 1, "conv3_1", act=False)
+        y = cl(self.embed_dim * 4, 3, 2, "conv3_0")(y, train)
+        y = cl(self.embed_dim, 1, 1, "conv3_1", act=False)(y, train)
         return y
+
+
+class _ConvLayer(nn.Module):
+    """utils.py ConvLayer (shipped commented, :916-940): conv (+BN) (+ReLU)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    groups: int = 1
+    use_norm: bool = True
+    use_act: bool = True
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = self.kernel // 2
+        x = nn.Conv(
+            self.features, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride), padding=[(p, p), (p, p)],
+            feature_group_count=self.groups, use_bias=self.use_bias,
+            dtype=self.dtype, name="conv",
+        )(x)
+        if self.use_norm:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="norm",
+            )(x)
+        return jax.nn.relu(x) if self.use_act else x
+
+
+class SpatialMambaDownSampling(nn.Module):
+    """utils.py DownSampling (shipped commented, :986-1012): inverted
+    bottleneck 1x1 expand (8*dim) -> depthwise 3x3 stride 2 -> 1x1 project
+    to 2*dim with BN; ReLU on the first two, none on the last."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = int(2 * self.dim * 4.0)
+        x = _ConvLayer(mid, 1, use_norm=False, dtype=self.dtype, name="conv_0")(x, train)
+        x = _ConvLayer(
+            mid, 3, 2, groups=mid, use_norm=False, dtype=self.dtype, name="conv_1"
+        )(x, train)
+        return _ConvLayer(
+            2 * self.dim, 1, use_act=False, dtype=self.dtype, name="conv_2"
+        )(x, train)
 
 
 class SpatialMamba(nn.Module):
@@ -127,15 +172,12 @@ class SpatialMamba(nn.Module):
         features = []
         for i, depth in enumerate(self.depths):
             if i > 0:
-                # DownSampling: 3x3 stride-2 conv + BN
-                x = nn.Conv(
-                    self.dims[i], (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
-                    use_bias=False, dtype=dt, name=f"downsample_{i}_conv",
-                )(x)
-                x = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                    dtype=dt, name=f"downsample_{i}_bn",
-                )(x)
+                # the reference attaches DownSampling to the END of stage
+                # i-1 (SpatialMambaLayer(downsample=DownSampling)) — same
+                # position between stages, named accordingly for porting
+                x = SpatialMambaDownSampling(
+                    self.dims[i - 1], dt, name=f"layers_{i - 1}_downsample"
+                )(x, train)
             for j in range(depth):
                 x = SpatialMambaBlock(
                     self.dims[i], d_state=self.d_state, dtype=dt,

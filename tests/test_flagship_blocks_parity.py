@@ -21,7 +21,13 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from tests.torch_ref import REF, _install_stub_deps, from_nhwc, to_nhwc
+from tests.torch_ref import (
+    REF,
+    _install_stub_deps,
+    from_nhwc,
+    randomize_bn_stats,
+    to_nhwc,
+)
 
 FLAGSHIP = "nets.segmamba_hybrid_gsc_KAN_PE_ds_CrossAttn_HSLCA_SpatialMamba"
 
@@ -333,3 +339,59 @@ def test_spatial_mamba_block_parity(ref_mod):
     template = model.init(jax.random.PRNGKey(0), xj)
     variables = _port(template, ref)
     _assert_close(model.apply(variables, xj), want, tol=2e-5)
+
+
+def test_spatial_mamba_classifier_parity(ref_mod):
+    """Full SpatialMamba classifier vs the reference, with the reference's
+    OWN Stem/ConvLayer/DownSampling recovered from the commented block it
+    ships in Experiments/utils.py:912-1012 (exec'd after stripping the
+    comment markers) and the RH python-loop scan."""
+    import importlib
+    import re as _re
+
+    import torch
+    from einops import rearrange
+
+    src = open(f"{REF}/Experiments/utils.py").read().splitlines()
+    start = next(i for i, l in enumerate(src) if l.startswith("# class ConvLayer"))
+    end = max(i for i, l in enumerate(src) if l.rstrip() == "#         return x")
+    block = "\n".join(
+        _re.sub(r"^# ?", "", l) for l in src[start : end + 1]
+    )
+    ns = {
+        "torch": torch, "nn": torch.nn, "rearrange": rearrange,
+        "to_2tuple": lambda v: v if isinstance(v, tuple) else (v, v),
+    }
+    exec(compile(block, "utils_commented.py", "exec"), ns)
+
+    utils = importlib.import_module("utils")
+    utils.Stem = ns["Stem"]
+    utils.DownSampling = ns["DownSampling"]
+    spm = importlib.reload(importlib.import_module("nets.spatialmamba"))
+
+    torch.manual_seed(0)
+    ref = spm.SpatialMamba(
+        img_size=32, in_chans=3, num_classes=5, depths=[1, 1], dims=[16, 32],
+        d_state=4, drop_path_rate=0.0,
+    ).eval()
+    randomize_bn_stats(ref, 0)
+    x = np.random.RandomState(21).rand(1, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+
+    from accunet_tpu.models.medmamba import SpatialMamba
+
+    model = SpatialMamba(3, 5, depths=(1, 1), dims=(16, 32), d_state=4)
+    xj = jnp.asarray(to_nhwc(x))
+    tpl = model.init(jax.random.PRNGKey(0), xj)
+
+    def rename(n):
+        import re as _re2
+
+        n = _re2.sub(r"layers_(\d+)_blocks\.(\d+)\.", r"layers.\1.blocks.\2.", n)
+        n = _re2.sub(r"layers_(\d+)_downsample\.", r"layers.\1.downsample.", n)
+        return n
+
+    variables = _port(tpl, ref, rename=rename)
+    got = np.asarray(model.apply(variables, xj, train=False))
+    _assert_close(got, want, tol=5e-5)

@@ -45,7 +45,9 @@ SEGMAMBA_KW = dict(depths=(1, 1, 1, 1), feat_size=(8, 16, 24, 32), hidden_size=4
 # window attention needs stage resolutions divisible by 7
 SPECS["Segmamba_hybrid_gsc_SWAttn"] = dict(hw=112)
 CMRF_NAMES = [n for n in registry if n.startswith("UNext_CMRF")]
-SEGMAMBA_NAMES = [n for n in registry if n.startswith("Segmamba")]
+SEGMAMBA_NAMES = [
+    n for n in registry if n.lower().startswith("segmamba")
+]  # incl. the reference's lowercase 'segmamba_hybrid_gsc_KAN_PE_EffKan'
 
 
 @pytest.mark.parametrize("name", sorted(registry))

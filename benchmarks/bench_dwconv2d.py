@@ -27,14 +27,17 @@ from accunet_tpu.ops.pallas.dwconv2d import dwconv2d, dwconv2d_reference
 
 
 def chain_time(fn, args, steps=10):
+    """Chained-dependency timing with a forced scalar readback per call —
+    the serving relay acks block_until_ready before execution completes, so
+    only a host fetch measures real completion (see bench.py)."""
     out = fn(*args)
-    jax.block_until_ready(out)
+    float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
     t0 = time.perf_counter()
     for _ in range(steps):
         leader = jax.tree_util.tree_leaves(out)[0]
         args = (args[0] + (1e-6 * leader.ravel()[0]).astype(args[0].dtype),) + args[1:]
         out = fn(*args)
-    jax.block_until_ready(out)
+    float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
     return (time.perf_counter() - t0) / steps
 
 

@@ -22,10 +22,10 @@ What DOES earn its keep is the backward:
   * dgrad: depthwise conv of the cotangent with the spatially flipped
     kernel (same identity the reference uses, dwconv_layer.py:19-31).
   * wgrad: XLA's native depthwise weight-gradient lowering is pathological
-    (measured ~20x the data-gradient cost on v5e); it is replaced by a
-    Pallas kernel accumulating dw[i,j,c] += sum_hw x_pad[h+i,w+j,c]*g[h,w,c]
-    into a VMEM block revisited across the batch grid dimension, with an
-    XLA per-tap shifted-reduction fallback.
+    (measured ~20x the data-gradient cost on v5e); it is replaced by
+    per-tap shifted XLA reductions. (A Pallas wgrad kernel also exists for
+    benchmarking, but Mosaic cannot prove sublane alignment for its
+    tap-windowed loads at real model shapes, so it is not dispatched.)
 """
 
 from __future__ import annotations
@@ -146,23 +146,24 @@ def _bwd(res, g):
     # dgrad: conv of g with flipped kernel (dwconv_layer.py:19-31 identity)
     wflip = kernel[::-1, ::-1, :]
     dx = _dwconv2d_impl(g, wflip, None)
-    tc = _pick_tc(x.shape[-1])
-    on_tpu = jax.devices()[0].platform == "tpu"
-    if on_tpu and _use_pallas(x.shape, kh, kw, tc):
-        dw = _dwconv2d_wgrad_pallas(x, g, kh, kw).astype(kernel.dtype)
-    else:
-        # XLA wgrad: per-tap shifted reduction
-        b, h, w, c = x.shape
-        ph, pw = (kh - 1) // 2, (kw - 1) // 2
-        xp = jnp.pad(x, ((0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw), (0, 0)))
-        taps = []
-        for i in range(kh):
-            row = []
-            for j in range(kw):
-                win = lax.dynamic_slice(xp, (0, i, j, 0), (b, h, w, c))
-                row.append(jnp.einsum("bhwc,bhwc->c", win, g))
-            taps.append(jnp.stack(row))
-        dw = jnp.stack(taps).astype(kernel.dtype)
+    # wgrad: per-tap shifted reductions. This IS the production path — it is
+    # what replaces XLA's pathological native depthwise weight-gradient
+    # (~20x the dgrad cost). The Pallas wgrad kernel below is kept for
+    # benchmarking/opt-in but NOT dispatched: Mosaic cannot prove sublane
+    # alignment for its tap-windowed loads at real model shapes
+    # ("cannot statically prove that index in dimension 2 is a multiple of
+    # 8" at 224^2; caught by benchmarks/bench_train_step.py).
+    b, h, w, c = x.shape
+    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw), (0, 0)))
+    taps = []
+    for i in range(kh):
+        row = []
+        for j in range(kw):
+            win = lax.dynamic_slice(xp, (0, i, j, 0), (b, h, w, c))
+            row.append(jnp.einsum("bhwc,bhwc->c", win, g))
+        taps.append(jnp.stack(row))
+    dw = jnp.stack(taps).astype(kernel.dtype)
     db = jnp.sum(g, axis=(0, 1, 2)).astype(g.dtype)
     return dx, dw, db
 

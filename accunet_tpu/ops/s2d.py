@@ -125,8 +125,30 @@ def conv3x3(xf: jax.Array, w: jax.Array, bias: jax.Array | None = None) -> jax.A
 
 
 def conv1x1(xf: jax.Array, w: jax.Array, bias: jax.Array | None = None) -> jax.Array:
-    """1x1 conv of the logical map: the same (C, O) matmul per position
-    block (lane slices + concat — fuses better than an (..., 4, C) view)."""
+    """1x1 conv of the logical map: ONE dense (4C, 4O) matmul with the (C, O)
+    kernel placed block-diagonally (exact — the off-block zeros contribute
+    +0.0 terms to the fp32 accumulator).
+
+    Measured on v5e at the cnv91 decoder block (256->768 frame, 112^2 b8):
+    per-position-block matmuls on lane slices cost 1.74 ms (the 192-lane
+    offsets defeat alignment and each block is a separate fusion); this
+    dense form is one aligned MXU pass (~4x the MACs, still compute-cheap)."""
+    c, o = w.shape
+    wt = w.astype(xf.dtype)
+    wd = jnp.zeros((4, c, 4, o), wt.dtype)
+    for p in range(4):
+        wd = wd.at[p, :, p, :].set(wt)
+    y = lax.dot_general(
+        xf, wd.reshape(4 * c, 4 * o), (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(xf.dtype)
+    if bias is not None:
+        y = y + tile4(bias).astype(y.dtype)
+    return y
+
+
+def conv1x1_blocked(xf: jax.Array, w: jax.Array, bias: jax.Array | None = None) -> jax.Array:
+    """Per-position-block matmul form of conv1x1 (kept for benchmarking)."""
     wt = w.astype(xf.dtype)
     outs = []
     for q in _pos_blocks(xf):
@@ -167,6 +189,14 @@ def dwconv3x3(xf: jax.Array, w: jax.Array, bias: jax.Array | None = None) -> jax
             acc = acc + bias.astype(acc.dtype)
         outs.append(acc)
     return jnp.concatenate(outs, axis=-1)
+
+
+def dwconv3x3_unpack(xf: jax.Array, w: jax.Array, bias: jax.Array | None = None) -> jax.Array:
+    """Depthwise 3x3 of the logical map via unpack -> grouped conv -> pack
+    (kept for benchmarking against the in-frame 9-tap form)."""
+    from accunet_tpu.ops.pallas.dwconv2d import dwconv2d
+
+    return pack(dwconv2d(unpack(xf), w, bias))
 
 
 def conv_transpose_2x2_to_frame(x: jax.Array, w: jax.Array, bias: jax.Array | None = None) -> jax.Array:
@@ -232,14 +262,8 @@ def hanc_mix_frame(xf: jax.Array, w: jax.Array, bias: jax.Array, k: int) -> jax.
         term = mix(avg_maps[i - 1], i) + mix(max_maps[i - 1], k - 1 + i)
         acc = term if acc is None else term + upsample_nearest(acc, 2)
     # acc is a normal map at frame resolution; entering the frame == tiling
-    # across position blocks — folded into the per-block mix epilogue so the
-    # whole full-res finish is one fused pass per block
-    w0 = w[:, 0, :].astype(xf.dtype)
+    # across position blocks. The identity branch is ONE dense block-diagonal
+    # matmul (see conv1x1) and the telescoped sum broadcasts across the four
+    # position blocks in the same fused epilogue.
     add = acc + bias.astype(acc.dtype)
-    outs = []
-    for q in _pos_blocks(xf):
-        y = lax.dot_general(
-            q, w0, (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(xf.dtype)
-        outs.append(y + add)
-    return jnp.concatenate(outs, axis=-1)
+    return conv1x1(xf, w[:, 0, :], None) + broadcast_positions(add)

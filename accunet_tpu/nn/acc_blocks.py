@@ -185,6 +185,45 @@ class _DWConvParams(nn.Module):
         return kernel, bias
 
 
+class _BNParams(nn.Module):
+    """Parameter/stat mirror of nn.BatchNorm (same variable names, shapes
+    and inits) returning the folded inference affine (scale', shift') with
+    scale' = scale/sqrt(var+eps), shift' = bias - mean*scale'. Lets a fused
+    kernel consume BN without materializing its input, while keeping the
+    variable tree bit-identical to the unfused path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+        s = scale * jax.lax.rsqrt(var.value + 1e-5)
+        return s, bias - mean.value * s
+
+
+class _HANCParams(nn.Module):
+    """Parameter mirror of HANCLayer (cnv + bn subtree) for the fused
+    inference kernel."""
+
+    in_ch: int
+    out_ch: int
+    k: int
+
+    @nn.compact
+    def __call__(self):
+        nv = 2 * self.k - 1
+        kernel, bias = _Conv1x1Params(self.in_ch * nv, self.out_ch, name="cnv")()
+        s, t = _BNParams(self.out_ch, name="bn")()
+        return kernel[0, 0].reshape(self.in_ch, nv, self.out_ch), bias, s, t
+
+
 class _Conv1x1Params(nn.Module):
     """Holds a 1x1 conv's parameters under the standard names so checkpoint
     porting stays mechanical while the op itself is decomposed."""
@@ -279,6 +318,7 @@ class HANCBlock(nn.Module):
     inv_fctr: int = 3
     dtype: Dtype = jnp.float32
     layout: str = "nhwc"
+    fuse: str = "auto"  # 'auto' | 'force' | 'off' — fused inference kernel
 
     @nn.compact
     def __call__(self, inp, train: bool = False):
@@ -308,10 +348,17 @@ class HANCBlock(nn.Module):
         (A variant that zero-padded the 96/192-wide interiors to 128-lane
         multiples for vreg-aligned frame slices was measured WORSE — the
         +33% bytes beat the alignment win: cnv12 1.34->1.70 ms, cnv91
-        4.33->5.36 — and was removed.)"""
+        4.33->5.36 — and was removed.)
+
+        Inference dispatches to the fused whole-block Pallas kernel
+        (ops/pallas/hanc_block.py) — one VMEM-resident pass instead of seven
+        HBM round-trips of the E-channel interior; the BN/conv variable tree
+        is identical in both branches."""
         from accunet_tpu.ops import s2d
 
         cin = inp.shape[-1] // 4
+        if not train and self._fused_s2d_ok(inp, cin):
+            return self._call_s2d_fused(inp, train, e, cin)
         k1, b1 = _ConvParams(1, 1, cin, e, name="conv1")()
         x = s2d.conv1x1(inp, k1[0, 0].astype(inp.dtype), b1.astype(inp.dtype))
         x = lrelu(batch_norm_frame(x, train, self.dtype, name="norm1"))
@@ -331,6 +378,53 @@ class HANCBlock(nn.Module):
         return ChannelSELayer(
             self.out_channels, self.dtype, layout="s2d", name="sqe"
         )(x, train)
+
+    def _fused_s2d_ok(self, inp, cin) -> bool:
+        import os
+
+        if self.fuse == "off" or os.environ.get("ACCUNET_FUSED_HANC", "1") == "0":
+            return False
+        if self.fuse != "force" and jax.devices()[0].platform != "tpu":
+            return False
+        if self.n_filts != cin or self.k > 3:
+            return False  # residual needs nf == cin; kernel supports k<=3
+        if self.fuse != "force" and self.n_filts * self.inv_fctr < 128:
+            return False  # measured: E96 fused 1.65 vs 1.48 ms unfused; E192 wins 1.77x
+        from accunet_tpu.ops.pallas.hanc_block import pick_tile
+
+        _, hf, wf, _ = inp.shape
+        if pick_tile(hf, self.k) is None:
+            return False
+        if self.k >= 2 and (hf % 2 or wf % 2):
+            return False
+        return True
+
+    def _call_s2d_fused(self, inp, train, e, cin):
+        from accunet_tpu.ops.pallas.hanc_block import hanc_block_frame
+
+        k1, b1 = _ConvParams(1, 1, cin, e, name="conv1")()
+        s1, t1 = _BNParams(e, name="norm1")()
+        kd, bd = _DWConvParams(e, 3, name="conv2")()
+        s2_, t2 = _BNParams(e, name="norm2")()
+        wh, bh, sh, th_ = _HANCParams(e, self.n_filts, self.k, name="hnc")()
+        sres, tres = _BNParams(self.n_filts, name="norm")()
+        k3, b3 = _ConvParams(1, 1, self.n_filts, self.out_channels, name="conv3")()
+        s3, t3 = _BNParams(self.out_channels, name="norm3")()
+        y = hanc_block_frame(
+            inp, k1[0, 0], b1, kd[:, :, 0, :], bd, wh, bh, k3[0, 0], b3,
+            {
+                "norm1": (s1, t1),
+                "norm2": (s2_, t2),
+                "hnc": (sh, th_),
+                "norm": (sres, tres),
+                "norm3": (s3, t3),
+            },
+            self.k,
+            interpret=jax.devices()[0].platform != "tpu",
+        )
+        return ChannelSELayer(
+            self.out_channels, self.dtype, layout="s2d", name="sqe"
+        )(y, train)
 
 
 class ResPath(nn.Module):

@@ -1,0 +1,245 @@
+"""Fused whole-HANCBlock Pallas kernel in the s2d frame layout.
+
+This is the SURVEY §7.2 "fused Pallas kernels for HANC" milestone applied at
+block granularity: the entire inference body of a HANCBlock
+(ACC_UNet/ACC_UNet.py:224-286 — conv1x1 expand -> BN -> lrelu -> depthwise
+3x3 -> BN -> lrelu -> HANC aggregation+mix -> BN -> lrelu -> residual -> BN
+-> conv1x1 project -> BN -> lrelu) runs in one Pallas kernel over the
+space-to-depth frame (ops/s2d.py), with all BatchNorms folded to per-channel
+affines.  Only the trailing SE (a global reduce + two tiny matmuls +
+elementwise scale) stays in XLA, fused into the consumer.
+
+Why: on v5e the unfused frame path materializes the E-channel interior
+(E = inv_fctr * n_filts, e.g. 192 logical = 768 frame channels at 112^2 for
+the cnv91 decoder block) in HBM seven times; measured 4.3 ms/block against a
+~0.4 ms bytes+VPU bound.  In-kernel the interior lives only in VMEM: HBM
+traffic is read-x + write-y.
+
+Layout strategy (the part that makes Mosaic happy):
+  * the frame input stays position-MAJOR in HBM ((..., 4*Cin), lanes
+    aligned); position blocks are sliced per row-tile in VMEM where the
+    arrays are small,
+  * the wide interior is kept as FOUR SEPARATE (rows, W, E) arrays — one per
+    sub-position — so no 1.5-vreg lane-offset slicing ever happens on the
+    hot tensors (the failure mode that sank the round-1 full-res kernels),
+  * the depthwise conv's cross-position taps become whole-array spatially
+    shifted multiply-adds (static slices of a once-padded buffer),
+  * HANC's logical 2x2 pool == a position-block mean/max (pure VPU), the
+    logical 4x4 pool == a 2x2 spatial pool of that, and the upsample-adds
+    telescope coarsest-first exactly as in ops/pallas/hanc.py.
+
+Grid: (B, Hf/th).  Each tile recomputes the 1x1 expand on th+2 rows (halo
+for the depthwise conv); the input is row-padded once in HBM so halo rows
+are in-range, and a row mask zeroes the convolution pad rows after the
+expand (SAME-padding semantics pad the *post-activation* map).
+
+Training falls back to the unfused frame path (BN needs batch statistics
+mid-block); the backward pass never sees this kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+# (pos_out, tap_u, tap_v) -> (pos_in, row_shift, col_shift), all in {-1,0,1}
+from accunet_tpu.ops.s2d import _S2D_GEOM
+
+
+def _kernel(xa_ref, xb_ref, w1_ref, wd_ref, wh_ref, w3_ref, affe_ref,
+            affn_ref, affc_ref, *out_refs, cin, e, nf, cout, k, th, hf):
+    """One (th rows x full width) frame tile -> four finished position
+    blocks of the HANCBlock output (pre-SE)."""
+    hi = pl.program_id(1)
+    # rows [hi*th, hi*th+th+2) of the row-padded frame == logical frame rows
+    # hi*th-1 .. hi*th+th.  Staged as two th-row blocks of the SAME padded
+    # array (xa = tile rows, xb = next tile, of which only the first 2 halo
+    # rows are read) so VMEM holds 2*th rows instead of the whole image —
+    # whole-image staging blew the 16M scoped-vmem limit inside the full
+    # model (24.03M at the cnv91 shapes).
+    xt = jnp.concatenate([xa_ref[0], xb_ref[0, :2]], axis=0)
+    wf = xt.shape[1]
+    w1 = w1_ref[:]           # (cin, e)
+    wd = wd_ref[:]           # (9, e)
+    affe = affe_ref[:]       # (4, e)   s1, t1, s2, t2
+    affn = affn_ref[:]       # (4, nf)  sh, th_, sres, tres
+    affc = affc_ref[:]       # (2, cout)
+
+    f32 = jnp.float32
+    dt = xt.dtype
+
+    def lrelu(t):
+        # max(t, 0.01*t) == leaky_relu(t, 0.01); Mosaic lowers maximum on
+        # packed bf16 but not cmpf/select
+        return jnp.maximum(t, t * jnp.asarray(0.01, t.dtype))
+
+    # rows of this tile in logical frame coordinates: hi*th - 1 + r; the
+    # mask is a 0/1 multiplicand (packed-bf16 select is not lowerable)
+    row = lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0) + (hi * th - 1)
+    in_image = jnp.logical_and(row >= 0, row < hf).astype(dt)
+
+    # ---- 1x1 expand + folded BN + lrelu, on th+2 rows (halo recompute) ----
+    s1, t1 = affe[0].astype(dt), affe[1].astype(dt)
+    qp = []  # per-position (th+2, wf+2, e), col-padded for the dwconv
+    for p in range(4):
+        xpos = xt[:, :, p * cin:(p + 1) * cin]
+        y = lax.dot_general(
+            xpos.reshape(-1, cin), w1, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(dt).reshape(th + 2, wf, e)
+        y = lrelu(y * s1 + t1)
+        # SAME padding pads the post-activation map with zeros
+        y = y * in_image
+        qp.append(jnp.pad(y, ((0, 0), (1, 1), (0, 0))))
+
+    # ---- depthwise 3x3 across positions + folded BN + lrelu ----
+    s2, t2 = affe[2].astype(dt), affe[3].astype(dt)
+    d = []  # per-position (th, wf, e)
+    for po in range(4):
+        acc = None
+        for po2, u, v, pi, gi, gj in _S2D_GEOM:
+            if po2 != po:
+                continue
+            src = qp[pi][1 + gi:1 + gi + th, 1 + gj:1 + gj + wf, :]
+            term = src * wd[3 * (u + 1) + (v + 1)].astype(dt)
+            acc = term if acc is None else acc + term
+        d.append(lrelu(acc * s2 + t2))
+
+    # ---- HANC: pyramid + per-branch mixes, telescoped coarsest-first ----
+    def mix(t, j):
+        out = lax.dot_general(
+            t.reshape(-1, e), wh_ref[j], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        return out.reshape(t.shape[0], t.shape[1], nf)  # fp32
+
+    def pool2(t, kind):
+        h, ww, cc = t.shape
+        r = t.reshape(h // 2, 2, ww // 2, 2, cc)
+        q = [r[:, 0, :, 0], r[:, 0, :, 1], r[:, 1, :, 0], r[:, 1, :, 1]]
+        if kind == "max":
+            return jnp.maximum(jnp.maximum(q[0], q[1]), jnp.maximum(q[2], q[3]))
+        return ((q[0] + q[1]) + (q[2] + q[3])) * jnp.asarray(0.25, t.dtype)
+
+    def up2(t):
+        h, ww, cc = t.shape
+        r = jnp.broadcast_to(t[:, None, :, None, :], (h, 2, ww, 2, cc))
+        return r.reshape(2 * h, 2 * ww, cc)
+
+    acc = None
+    if k >= 2:
+        # logical 2x2 pool == position-block reduce (frame-resolution map)
+        quarter = jnp.asarray(0.25, dt)
+        a1 = ((d[0] + d[1]) + (d[2] + d[3])) * quarter
+        m1 = jnp.maximum(jnp.maximum(d[0], d[1]), jnp.maximum(d[2], d[3]))
+        avg_maps, max_maps = [a1], [m1]
+        for _ in range(3, k + 1):  # logical 2^i pool == frame 2^(i-1) pool
+            avg_maps.append(pool2(avg_maps[-1], "avg"))
+            max_maps.append(pool2(max_maps[-1], "max"))
+        for i in range(k - 1, 0, -1):
+            term = mix(avg_maps[i - 1], i) + mix(max_maps[i - 1], k - 1 + i)
+            acc = term if acc is None else term + up2(acc)
+
+    sh_, th_ = affn[0], affn[1]          # fp32: hanc runs in fp32 accum
+    sres, tres = affn[2].astype(dt), affn[3].astype(dt)
+    s3, t3 = affc[0].astype(dt), affc[1].astype(dt)
+    w3 = w3_ref[:]                       # (nf, cout)
+
+    for p in range(4):
+        h = mix(d[p], 0)
+        if acc is not None:
+            h = h + acc
+        r = lrelu(h * sh_ + th_).astype(dt)            # hanc BN + lrelu
+        xv = xt[1:1 + th, :, p * cin:(p + 1) * cin]    # residual (nf == cin)
+        z = (r + xv) * sres + tres                     # 'norm' BN (no lrelu)
+        t = lax.dot_general(
+            z.reshape(-1, nf), w3, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(dt).reshape(th, wf, cout)
+        out_refs[p][0] = lrelu(t * s3 + t3)
+
+
+def pick_tile(hf: int, k: int) -> int | None:
+    """Row-tile: multiple of 2^(max(k,2)-2) frame rows (pool alignment), a
+    divisor of Hf, small enough to keep the wide interior in VMEM."""
+    s = max(2 ** (k - 2), 1) if k >= 2 else 1
+    for th in (8, 4, 2):
+        if th % s == 0 and hf % th == 0:
+            return th
+    return None
+
+
+def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
+                     interpret=False, th=None):
+    """Fused HANCBlock forward (pre-SE) on a frame map.
+
+    xf: (B, Hf, Wf, 4*cin) s2d frame.  w1 (cin, e), wd (3, 3, e),
+    wh (e, 2k-1, nf), w3 (nf, cout), b* the conv biases.  bns: dict of four
+    folded BN affines {'norm1','norm2','hnc','norm','norm3'} -> (scale,
+    shift) pairs (fp32, per logical channel); conv biases are folded into
+    the following BN's shift here.  Returns the (B, Hf, Wf, 4*cout) frame.
+    """
+    b, hf, wf, c4 = xf.shape
+    cin = c4 // 4
+    e = w1.shape[1]
+    nf = w3.shape[0]
+    cout = w3.shape[1]
+    if th is None:
+        th = pick_tile(hf, k)
+    assert th is not None and hf % th == 0
+
+    def fold(pair, bias):
+        s, t = pair
+        if bias is not None:
+            t = t + bias.astype(t.dtype) * s
+        return s.astype(jnp.float32), t.astype(jnp.float32)
+
+    s1, t1 = fold(bns["norm1"], b1)
+    s2, t2 = fold(bns["norm2"], bd)
+    sh_, th_ = fold(bns["hnc"], bh)
+    sres, tres = fold(bns["norm"], None)
+    s3, t3 = fold(bns["norm3"], b3)
+
+    affe = jnp.stack([s1, t1, s2, t2])            # (4, e) fp32
+    affn = jnp.stack([sh_, th_, sres, tres])      # (4, nf) fp32
+    affc = jnp.stack([s3, t3])                    # (2, cout) fp32
+
+    dt = xf.dtype
+    xpad = jnp.pad(xf, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    w1k = w1.astype(dt)
+    wdk = wd.reshape(9, e).astype(dt)
+    whk = jnp.transpose(wh, (1, 0, 2)).astype(dt)  # (2k-1, e, nf)
+    w3k = w3.astype(dt)
+
+    grid = (b, hf // th)
+    outs = pl.pallas_call(
+        functools.partial(_kernel, cin=cin, e=e, nf=nf, cout=cout, k=k,
+                          th=th, hf=hf),
+        grid=grid,
+        in_specs=[
+            # row-padded input, staged twice: the tile's th rows and the next
+            # block (first 2 rows = bottom halo; the hi+1 == Hf/th block runs
+            # past the array end — Pallas pads, and only its in-range first
+            # two rows are read)
+            pl.BlockSpec((1, th, wf, 4 * cin), lambda bi, hi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, th, wf, 4 * cin), lambda bi, hi: (bi, hi + 1, 0, 0)),
+            pl.BlockSpec((cin, e), lambda bi, hi: (0, 0)),
+            pl.BlockSpec((9, e), lambda bi, hi: (0, 0)),
+            pl.BlockSpec((2 * k - 1, e, nf), lambda bi, hi: (0, 0, 0)),
+            pl.BlockSpec((nf, cout), lambda bi, hi: (0, 0)),
+            pl.BlockSpec((4, e), lambda bi, hi: (0, 0)),
+            pl.BlockSpec((4, nf), lambda bi, hi: (0, 0)),
+            pl.BlockSpec((2, cout), lambda bi, hi: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, th, wf, cout), lambda bi, hi: (bi, hi, 0, 0))
+            for _ in range(4)
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, hf, wf, cout), dt) for _ in range(4)],
+        interpret=interpret,
+    )(xpad, xpad, w1k, wdk, whk, w3k, affe, affn, affc)
+    return jnp.concatenate(outs, axis=-1)

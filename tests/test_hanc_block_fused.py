@@ -1,0 +1,90 @@
+"""Fused whole-HANCBlock kernel (ops/pallas/hanc_block.py) vs the unfused
+frame path — same variables, interpret-mode Pallas on CPU.
+
+The fused path folds every BatchNorm to an inference affine and runs the
+block body in one kernel; it must match the op-by-op frame path to fp
+reassociation tolerance, including the SAME-padding semantics at image
+edges (halo rows are post-activation zeros) and the row-tiled pooling.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from accunet_tpu.nn.acc_blocks import HANCBlock
+from accunet_tpu.ops import s2d
+
+pytestmark = pytest.mark.quick
+
+
+def _jitter(tree, key, scale=0.3):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    keys = jax.random.split(key, len(leaves))
+    out = []
+    for leaf, k in zip(leaves, keys):
+        out.append(leaf + scale * jax.random.normal(k, leaf.shape, leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _compare(k, cin, inv, cout, hlog=16, wlog=16, b=2):
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, hlog, wlog, cin), jnp.float32)
+    xf = s2d.pack(x)
+    kw = dict(n_filts=cin, out_channels=cout, k=k, inv_fctr=inv, layout="s2d")
+    mod_u = HANCBlock(**kw, fuse="off")
+    mod_f = HANCBlock(**kw, fuse="force")
+
+    variables = mod_u.init(jax.random.PRNGKey(1), xf, True)
+    # make the BN affines non-trivial: jitter params, then run a real train
+    # step so batch_stats move off their init values
+    variables = jax.tree_util.tree_map(lambda a: a, variables)
+    params = _jitter(variables["params"], jax.random.PRNGKey(2))
+    _, mut = mod_u.apply(
+        {"params": params, "batch_stats": variables["batch_stats"]},
+        xf, True, mutable=["batch_stats"],
+    )
+    variables = {"params": params, "batch_stats": mut["batch_stats"]}
+
+    yu = mod_u.apply(variables, xf, False)
+    yf = mod_f.apply(variables, xf, False)
+    np.testing.assert_allclose(
+        np.asarray(yu), np.asarray(yf), atol=5e-4, rtol=5e-4
+    )
+    return yu
+
+
+def test_fused_matches_unfused_k3():
+    _compare(k=3, cin=8, inv=3, cout=12)
+
+
+def test_fused_matches_unfused_k2():
+    _compare(k=2, cin=8, inv=2, cout=8)
+
+
+def test_fused_matches_unfused_k1():
+    _compare(k=1, cin=8, inv=3, cout=8)
+
+
+def test_fused_multi_tile_rows():
+    # Hf = 16 -> tiles of 8: exercises halo recompute at interior tile edges
+    _compare(k=3, cin=8, inv=3, cout=8, hlog=32, wlog=16)
+
+
+def test_fused_cnv91_geometry():
+    # the real decoder-block shape family (scaled down): cin=16, E=48
+    _compare(k=3, cin=16, inv=3, cout=8, hlog=16, wlog=16)
+
+
+def test_fused_identical_tree():
+    """The fused branch must create the exact variable tree of the unfused
+    branch (checkpoint compatibility both ways)."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 8), jnp.float32)
+    xf = s2d.pack(x)
+    kw = dict(n_filts=8, out_channels=8, k=3, inv_fctr=3, layout="s2d")
+    vu = HANCBlock(**kw, fuse="off").init(jax.random.PRNGKey(1), xf, False)
+    vf = HANCBlock(**kw, fuse="force").init(jax.random.PRNGKey(1), xf, False)
+    pu = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), vu)
+    pf = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), vf)
+    assert jax.tree_util.tree_structure(pu) == jax.tree_util.tree_structure(pf)
+    assert jax.tree_util.tree_leaves(pu) == jax.tree_util.tree_leaves(pf)

@@ -66,9 +66,12 @@ class ACCUNet(nn.Module):
     final_sigmoid: bool = True   # only applies when n_classes == 1
     wide_decoder_block: bool = True  # cnv72 inv_fctr 34 (canonical) vs 3 (harness)
     remat: bool = False  # jax.checkpoint each HANCBlock (training memory)
-    s2d_levels: int = 0  # 0 | 1 | 2 — run the top levels in the s2d frame
+    s2d_levels: int = 0  # 0..3 — run the top levels in the s2d frame
     # (ops/s2d.py): identical parameters and math, ~2-4x faster level-1/2 on
-    # TPU. Spatial dims must be divisible by 4 (s2d_levels=1) / 8 (=2).
+    # TPU. Spatial dims must be divisible by 4 (s2d_levels=1) / 8 (=2) /
+    # 16 (=3). Level 3 exists for the canonical cnv72 (inv_fctr=34): its
+    # 34*4f-channel interior is bytes-bound in nhwc and the frame routes it
+    # into the fused whole-block kernel (ops/pallas/hanc_block.py).
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -107,21 +110,24 @@ class ACCUNet(nn.Module):
         x3 = hanc(f * 2, f * 2, 3, 3, "cnv22", lv=2)(x3, train)
 
         p3 = s2d.max_positions(x3) if s2d_lv >= 2 else max_pool2d(x3, 2)
-        x4 = hanc(f * 2, f * 4, 3, 3, "cnv31")(p3, train)
-        x4 = hanc(f * 4, f * 4, 3, 3, "cnv32")(x4, train)
-        x5 = hanc(f * 4, f * 8, 2, 3, "cnv41")(max_pool2d(x4, 2), train)
+        if s2d_lv >= 3:
+            p3 = s2d.pack(p3)
+        x4 = hanc(f * 2, f * 4, 3, 3, "cnv31", lv=3)(p3, train)
+        x4 = hanc(f * 4, f * 4, 3, 3, "cnv32", lv=3)(x4, train)
+        p4 = s2d.max_positions(x4) if s2d_lv >= 3 else max_pool2d(x4, 2)
+        x5 = hanc(f * 4, f * 8, 2, 3, "cnv41")(p4, train)
         x5 = hanc(f * 8, f * 8, 2, 3, "cnv42")(x5, train)
         x6 = hanc(f * 8, f * 16, 1, 3, "cnv51")(max_pool2d(x5, 2), train)
         x6 = hanc(f * 16, f * 16, 1, 3, "cnv52")(x6, train)
 
         x2 = respath_cls(f, 4, dt, layout=lay(1), name="rspth1")(x2, train)
         x3 = respath_cls(f * 2, 3, dt, layout=lay(2), name="rspth2")(x3, train)
-        x4 = respath_cls(f * 4, 2, dt, name="rspth3")(x4, train)
+        x4 = respath_cls(f * 4, 2, dt, layout=lay(3), name="rspth3")(x4, train)
         x5 = respath_cls(f * 8, 1, dt, name="rspth4")(x5, train)
 
         filts = (f, f * 2, f * 4, f * 8)
         if mode == "lite":
-            layouts = (lay(1), lay(2), "nhwc", "nhwc")
+            layouts = (lay(1), lay(2), lay(3), "nhwc")
             for name in ("mlfc1", "mlfc2", "mlfc3"):
                 x2, x3, x4, x5 = mlfc_cls(
                     filts, 1, mode, dt, layouts=layouts, name=name
@@ -133,6 +139,8 @@ class ACCUNet(nn.Module):
                 x2 = s2d.unpack(x2)
             if s2d_lv >= 2:
                 x3 = s2d.unpack(x3)
+            if s2d_lv >= 3:
+                x4 = s2d.unpack(x4)
             for name in ("mlfc1", "mlfc2", "mlfc3"):
                 x2, x3, x4, x5 = mlfc_cls(filts, 1, mode, dt, name=name)(
                     x2, x3, x4, x5, train
@@ -141,14 +149,23 @@ class ACCUNet(nn.Module):
                 x2 = s2d.pack(x2)
             if s2d_lv >= 2:
                 x3 = s2d.pack(x3)
+            if s2d_lv >= 3:
+                x4 = s2d.pack(x4)
 
         x7 = ConvTranspose2x2(f * 16, f * 8, dt, name="up6")(x6)
         x7 = hanc(f * 16, f * 8, 2, 3, "cnv61")(jnp.concatenate([x7, x5], -1), train)
         x7 = hanc(f * 8, f * 8, 2, 3, "cnv62")(x7, train)
 
-        x8 = ConvTranspose2x2(f * 8, f * 4, dt, name="up7")(x7)
-        x8 = hanc(f * 8, f * 4, 3, 3, "cnv71")(jnp.concatenate([x8, x4], -1), train)
-        x8 = hanc(f * 4, f * 4, 3, 34 if self.wide_decoder_block else 3, "cnv72")(x8, train)
+        x8 = ConvTranspose2x2(
+            f * 8, f * 4, dt, to_frame=s2d_lv >= 3, name="up7"
+        )(x7)
+        cat = s2d.concat_channels(x8, x4) if s2d_lv >= 3 else jnp.concatenate([x8, x4], -1)
+        x8 = hanc(f * 8, f * 4, 3, 3, "cnv71", lv=3)(cat, train)
+        x8 = hanc(
+            f * 4, f * 4, 3, 34 if self.wide_decoder_block else 3, "cnv72", lv=3
+        )(x8, train)
+        if s2d_lv >= 3:
+            x8 = s2d.unpack(x8)
 
         x9 = ConvTranspose2x2(
             f * 4, f * 2, dt, to_frame=s2d_lv >= 2, name="up8"

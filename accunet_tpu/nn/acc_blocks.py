@@ -388,12 +388,15 @@ class HANCBlock(nn.Module):
             return False
         if self.n_filts != cin or self.k > 3:
             return False  # residual needs nf == cin; kernel supports k<=3
-        if self.fuse != "force" and self.n_filts * self.inv_fctr < 128:
-            return False  # measured: E96 fused 1.65 vs 1.48 ms unfused; E192 wins 1.77x
+        min_e = int(os.environ.get("ACCUNET_FUSED_HANC_MIN_E", "128"))
+        if self.fuse != "force" and self.n_filts * self.inv_fctr < min_e:
+            return False  # measured b8: E96 fused 1.65 vs 1.48 ms unfused; E192 wins 1.77x
+            # (but the unfused E96 path scales badly with batch — see ROOFLINE)
         from accunet_tpu.ops.pallas.hanc_block import pick_tile
 
         _, hf, wf, _ = inp.shape
-        if pick_tile(hf, self.k) is None:
+        e = self.n_filts * self.inv_fctr
+        if pick_tile(hf, self.k, wf, e, self.n_filts, cin) is None:
             return False
         if self.k >= 2 and (hf % 2 or wf % 2):
             return False

@@ -50,8 +50,9 @@ from jax.experimental import pallas as pl
 from accunet_tpu.ops.s2d import _S2D_GEOM
 
 
-def _kernel(xa_ref, xb_ref, w1_ref, wd_ref, wh_ref, w3_ref, affe_ref,
-            affn_ref, affc_ref, *out_refs, cin, e, nf, cout, k, th, hf):
+def _kernel(xa_ref, xb_ref, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
+            affe_ref, affn_ref, affc_ref, *out_refs, cin, e, nf, cout, k, th,
+            hf, debug_phase="full"):
     """One (th rows x full width) frame tile -> four finished position
     blocks of the HANCBlock output (pre-SE)."""
     hi = pl.program_id(1)
@@ -96,6 +97,11 @@ def _kernel(xa_ref, xb_ref, w1_ref, wd_ref, wh_ref, w3_ref, affe_ref,
         y = y * in_image
         qp.append(jnp.pad(y, ((0, 0), (1, 1), (0, 0))))
 
+    if debug_phase == "expand":
+        for p in range(4):
+            out_refs[p][0] = qp[p][1:1 + th, 1:1 + wf, :cout]
+        return
+
     # ---- depthwise 3x3 across positions + folded BN + lrelu ----
     s2, t2 = affe[2].astype(dt), affe[3].astype(dt)
     d = []  # per-position (th, wf, e)
@@ -109,13 +115,24 @@ def _kernel(xa_ref, xb_ref, w1_ref, wd_ref, wh_ref, w3_ref, affe_ref,
             acc = term if acc is None else acc + term
         d.append(lrelu(acc * s2 + t2))
 
-    # ---- HANC: pyramid + per-branch mixes, telescoped coarsest-first ----
-    def mix(t, j):
+    if debug_phase == "dwconv":
+        for p in range(4):
+            out_refs[p][0] = d[p][:, :, :cout]
+        return
+
+    # ---- HANC: pyramid + paired branch mixes, telescoped coarsest-first.
+    # Each branch's avg/max pair is ONE matmul via sum-form stacking —
+    # concat([avg, max], lanes) @ vstack(w_avg, w_max) == avg@w_avg +
+    # max@w_max — halving the branch matmul launches at no VMEM cost.
+    # (Row-concatenating the 4 position mixes into one matmul was tried and
+    # reverted: the concat copies the whole E-wide interior.) ----
+    def mixw(t, w):
+        rows, ww = t.shape[0], t.shape[1]
         out = lax.dot_general(
-            t.reshape(-1, e), wh_ref[j], (((1,), (0,)), ((), ())),
+            t.reshape(rows * ww, -1), w, (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
         )
-        return out.reshape(t.shape[0], t.shape[1], nf)  # fp32
+        return out.reshape(rows, ww, nf)  # fp32
 
     def pool2(t, kind):
         h, ww, cc = t.shape
@@ -141,7 +158,17 @@ def _kernel(xa_ref, xb_ref, w1_ref, wd_ref, wh_ref, w3_ref, affe_ref,
             avg_maps.append(pool2(avg_maps[-1], "avg"))
             max_maps.append(pool2(max_maps[-1], "max"))
         for i in range(k - 1, 0, -1):
-            term = mix(avg_maps[i - 1], i) + mix(max_maps[i - 1], k - 1 + i)
+            if e % 128 == 0:
+                # lane-aligned E: the pair concat is vreg-clean
+                pair = jnp.concatenate(
+                    [avg_maps[i - 1], max_maps[i - 1]], axis=-1
+                )
+                term = mixw(pair, whp_ref[i - 1])
+            else:
+                # misaligned E (e.g. 192): a lane-offset concat is the known
+                # Mosaic failure mode — mix the halves separately
+                w2 = whp_ref[i - 1]
+                term = mixw(avg_maps[i - 1], w2[:e]) + mixw(max_maps[i - 1], w2[e:])
             acc = term if acc is None else term + up2(acc)
 
     sh_, th_ = affn[0], affn[1]          # fp32: hanc runs in fp32 accum
@@ -150,7 +177,7 @@ def _kernel(xa_ref, xb_ref, w1_ref, wd_ref, wh_ref, w3_ref, affe_ref,
     w3 = w3_ref[:]                       # (nf, cout)
 
     for p in range(4):
-        h = mix(d[p], 0)
+        h = mixw(d[p], wh0_ref[:])
         if acc is not None:
             h = h + acc
         r = lrelu(h * sh_ + th_).astype(dt)            # hanc BN + lrelu
@@ -163,18 +190,39 @@ def _kernel(xa_ref, xb_ref, w1_ref, wd_ref, wh_ref, w3_ref, affe_ref,
         out_refs[p][0] = lrelu(t * s3 + t3)
 
 
-def pick_tile(hf: int, k: int) -> int | None:
+def pick_tile(hf: int, k: int, wf: int | None = None, e: int | None = None,
+              nf: int | None = None, cin: int | None = None) -> int | None:
     """Row-tile: multiple of 2^(max(k,2)-2) frame rows (pool alignment), a
-    divisor of Hf, small enough to keep the wide interior in VMEM."""
+    divisor of Hf, small enough to keep the wide interior in VMEM.  When the
+    shape is given, tiles whose working set would blow the ~16M scoped-vmem
+    limit are rejected (matters for the canonical cnv72, E=4352)."""
     s = max(2 ** (k - 2), 1) if k >= 2 else 1
+
+    def fits(th):
+        if wf is None or e is None:
+            return True
+        nf_ = nf or e
+        cin_ = cin or nf_
+        interior = 4 * (th + 2) * (wf + 2) * e * 2          # qp
+        interior += 4 * th * wf * e * 2                     # d
+        interior += int(2.7 * th * wf * e * 2)              # pyramid maps
+        io = 4 * th * wf * 4 * cin_ * 2 + 4 * 2 * th * wf * nf_ * 2
+        weights = (cin_ * e + 9 * e + (2 * k - 1) * e * nf_ + nf_ * nf_) * 2
+        fp32 = 3 * th * wf * nf_ * 4
+        # 16M matches the v5e scoped-vmem limit and the measured compile
+        # boundary: cnv72 (E=4352) th=2 (est 14.6M) compiles, th=4 (20.5M)
+        # does not
+        return interior + io + weights + fp32 < 16 * 2**20
+
     for th in (8, 4, 2):
-        if th % s == 0 and hf % th == 0:
+        if th % s == 0 and hf % th == 0 and fits(th):
             return th
     return None
 
 
 def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
-                     interpret=False, th=None):
+                     interpret=False, th=None, pad_e=True,
+                     debug_phase="full"):
     """Fused HANCBlock forward (pre-SE) on a frame map.
 
     xf: (B, Hf, Wf, 4*cin) s2d frame.  w1 (cin, e), wd (3, 3, e),
@@ -189,7 +237,7 @@ def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
     nf = w3.shape[0]
     cout = w3.shape[1]
     if th is None:
-        th = pick_tile(hf, k)
+        th = pick_tile(hf, k, wf, e, nf, cin)
     assert th is not None and hf % th == 0
 
     def fold(pair, bias):
@@ -214,11 +262,36 @@ def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
     wdk = wd.reshape(9, e).astype(dt)
     whk = jnp.transpose(wh, (1, 0, 2)).astype(dt)  # (2k-1, e, nf)
     w3k = w3.astype(dt)
+    if pad_e and e % 128:
+        # Zero-pad the interior width to the 128-lane vreg grid: every VPU
+        # pass over the E-wide interior then runs on aligned registers.
+        # Exact — padded w1 columns / affine scale+shift are zero, so junk
+        # lanes are identically 0 through lrelu/dwconv (depthwise: junk
+        # stays in junk lanes) and the zero wh rows keep them out of the
+        # HANC mix.
+        ep = -(-e // 128) * 128
+        w1k = jnp.pad(w1k, ((0, 0), (0, ep - e)))
+        wdk = jnp.pad(wdk, ((0, 0), (0, ep - e)))
+        whk = jnp.pad(whk, ((0, 0), (0, ep - e), (0, 0)))
+        affe = jnp.pad(affe, ((0, 0), (0, ep - e)))
+        e = ep
+
+    # Sum-form paired branch weights: vstack(w_avg_i, w_max_i) so each
+    # branch's avg+max mix is one matmul (see _kernel).  k==1 passes a tiny
+    # dummy the kernel never reads (static `if k >= 2`).
+    wh0k = whk[0]
+    if k >= 2:
+        whpk = jnp.stack(
+            [jnp.concatenate([whk[i], whk[k - 1 + i]], axis=0)
+             for i in range(1, k)]
+        )  # (k-1, 2e, nf)
+    else:
+        whpk = jnp.zeros((1, 2, nf), dt)
 
     grid = (b, hf // th)
     outs = pl.pallas_call(
         functools.partial(_kernel, cin=cin, e=e, nf=nf, cout=cout, k=k,
-                          th=th, hf=hf),
+                          th=th, hf=hf, debug_phase=debug_phase),
         grid=grid,
         in_specs=[
             # row-padded input, staged twice: the tile's th rows and the next
@@ -229,7 +302,8 @@ def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
             pl.BlockSpec((1, th, wf, 4 * cin), lambda bi, hi: (bi, hi + 1, 0, 0)),
             pl.BlockSpec((cin, e), lambda bi, hi: (0, 0)),
             pl.BlockSpec((9, e), lambda bi, hi: (0, 0)),
-            pl.BlockSpec((2 * k - 1, e, nf), lambda bi, hi: (0, 0, 0)),
+            pl.BlockSpec(wh0k.shape, lambda bi, hi: (0, 0)),
+            pl.BlockSpec(whpk.shape, lambda bi, hi: (0, 0, 0)),
             pl.BlockSpec((nf, cout), lambda bi, hi: (0, 0)),
             pl.BlockSpec((4, e), lambda bi, hi: (0, 0)),
             pl.BlockSpec((4, nf), lambda bi, hi: (0, 0)),
@@ -241,5 +315,5 @@ def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
         ],
         out_shape=[jax.ShapeDtypeStruct((b, hf, wf, cout), dt) for _ in range(4)],
         interpret=interpret,
-    )(xpad, xpad, w1k, wdk, whk, w3k, affe, affn, affc)
+    )(xpad, xpad, w1k, wdk, wh0k, whpk, w3k, affe, affn, affc)
     return jnp.concatenate(outs, axis=-1)

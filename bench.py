@@ -47,14 +47,15 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--s2d", type=int, default=None,
                     help="ACC-UNet family: run the top N levels in the "
-                         "space-to-depth frame (ops/s2d.py); defaults to 1 "
-                         "for ACC_UNet* models (measured fastest on v5e)")
+                         "space-to-depth frame (ops/s2d.py); defaults to 2 "
+                         "for ACC_UNet* models (measured fastest on v5e "
+                         "with the fused HANC-block kernel)")
     args = ap.parse_args()
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     s2d = args.s2d
     if s2d is None and args.model.startswith("ACC_UNet"):
-        s2d = 1
+        s2d = 2
     model = build(args.model, dtype, s2d_levels=s2d)
 
     best = 0.0

@@ -89,9 +89,10 @@ def unfused(xf, p, k):
     return t
 
 
-def fused(xf, p, k, th=None):
+def fused(xf, p, k, th=None, pad_e=True):
     return hanc_block_frame(xf, p["w1"], p["b1"], p["wd"], p["bd"], p["wh"],
-                            p["bh"], p["w3"], p["b3"], p["bns"], k, th=th)
+                            p["bh"], p["w3"], p["b3"], p["bns"], k, th=th,
+                            pad_e=pad_e)
 
 
 CASES = [
@@ -108,17 +109,18 @@ def main():
         print(f"--- {name} frame {xf.shape} ---")
         ms_u = timeit(lambda x: unfused(x, p, k), xf)
         print(f"  unfused          {ms_u:7.3f} ms")
-        for th in (8, 16, 28, 56):
+        for th in (8, 16):
             if hf % th:
                 continue
-            try:
-                fn = lambda x: fused(x, p, k, th=th)
-                y = np.asarray(jax.jit(fn)(xf), np.float32)
-                err = np.abs(y - ref).max() / max(1e-6, np.abs(ref).max())
-                ms = timeit(fn, xf)
-                print(f"  fused th={th}       {ms:7.3f} ms  (relerr {err:.2e})")
-            except Exception as ex:
-                print(f"  fused th={th}       FAIL {type(ex).__name__}: {str(ex)[:120]}")
+            for pad_e in (False, True):
+                try:
+                    fn = lambda x: fused(x, p, k, th=th, pad_e=pad_e)
+                    y = np.asarray(jax.jit(fn)(xf), np.float32)
+                    err = np.abs(y - ref).max() / max(1e-6, np.abs(ref).max())
+                    ms = timeit(fn, xf)
+                    print(f"  fused th={th} pad={int(pad_e)}  {ms:7.3f} ms  (relerr {err:.2e})")
+                except Exception as ex:
+                    print(f"  fused th={th} pad={int(pad_e)}  FAIL {type(ex).__name__}: {str(ex)[:120]}")
 
 
 if __name__ == "__main__":

@@ -119,7 +119,7 @@ def test_hanc_mix_frame_matches():
 
 
 @pytest.mark.parametrize("variant", ["lite", "base"])
-@pytest.mark.parametrize("lv", [1, 2])
+@pytest.mark.parametrize("lv", [1, 2, 3])
 def test_acc_unet_s2d_path_matches(variant, lv):
     from accunet_tpu.models.acc_unet import ACCUNet
 

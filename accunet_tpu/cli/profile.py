@@ -23,6 +23,8 @@ def main(argv=None):
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--trace", default=None, help="profiler trace output dir")
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--s2d", type=int, default=None,
+                    help="ACC-UNet family: top-N levels in the s2d frame")
     args = ap.parse_args(argv)
 
     import jax
@@ -35,8 +37,9 @@ def main(argv=None):
     if args.model.startswith("Segmamba"):
         model = build_model(args.model, in_chans=args.channels, out_chans=1)
     else:
+        kw = {} if args.s2d is None else {"s2d_levels": args.s2d}
         model = build_model(
-            args.model, n_channels=args.channels, n_classes=1, dtype=dtype
+            args.model, n_channels=args.channels, n_classes=1, dtype=dtype, **kw
         )
     x = jnp.zeros((args.batch, args.img, args.img, args.channels), jnp.float32)
     variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x))()
@@ -57,18 +60,46 @@ def main(argv=None):
     out = fwd(variables, x)
     jax.block_until_ready(out)
     if args.trace:
+        # Chained in-jit steps (each input depends on the previous output)
+        # so the device timeline reflects serialized execution — naive
+        # repeated dispatch can be value-cached / overlap-acked by the
+        # serving relay (ROOFLINE.md §0).
+        @jax.jit
+        def chained(v, x):
+            def body(_, carry):
+                x, tot = carry
+                out = model.apply(v, x + (1e-6 * tot).astype(x.dtype),
+                                  train=False)
+                o = out[0] if isinstance(out, (tuple, list)) else out
+                return x, tot + o[:, ::8, ::8].mean().astype(jnp.float32)
+
+            _, tot = jax.lax.fori_loop(0, args.steps, body, (x, jnp.float32(0)))
+            return tot
+
+        float(chained(variables, x))  # compile + warm outside the trace
         with jax.profiler.trace(args.trace):
-            for _ in range(args.steps):
-                out = fwd(variables, x)
-            jax.block_until_ready(out)
+            float(chained(variables, x))
         print(f"profiler trace written to {args.trace}")
+        try:
+            from accunet_tpu.utils.trace_report import module_times, top_ops
+
+            print(f"\nper-module device time (ms/step over {args.steps} steps):")
+            for mod, ms in module_times(args.trace, steps=args.steps)[:25]:
+                print(f"  {ms:8.3f}  {mod}")
+            print("\ntop ops:")
+            for name, ms, src in top_ops(args.trace, n=15, steps=args.steps):
+                print(f"  {ms:8.3f}  {name[:48]:48s} {src[:60]}")
+        except FileNotFoundError as e:
+            print(f"(no parsable device trace: {e})")
     t0 = time.perf_counter()
     for _ in range(args.steps):
         xc = x + (0 * out.ravel()[0]).astype(x.dtype)
         out = fwd(variables, xc)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / args.steps
-    print(f"wall: {dt*1e3:.2f} ms/fwd  ({args.batch/dt:.1f} img/s)")
+    print(f"wall: {dt*1e3:.2f} ms/fwd  ({args.batch/dt:.1f} img/s)"
+          "  [naive dispatch timing — behind a serving relay the per-module"
+          " device-trace numbers above are the honest ones; see ROOFLINE.md §0]")
 
 
 if __name__ == "__main__":

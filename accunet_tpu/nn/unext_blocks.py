@@ -70,12 +70,14 @@ class DWConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, H: int, W: int):
+        from accunet_tpu.nn.acc_blocks import DepthwiseConv
+
         b, n, c = x.shape
         y = x.reshape(b, H, W, c)
-        y = nn.Conv(
-            self.dim, (3, 3), padding="SAME", feature_group_count=c,
-            dtype=self.dtype, name="dwconv",
-        )(y)
+        # custom-VJP depthwise (ops/pallas/dwconv2d): identical forward and
+        # param layout to nn.Conv(feature_group_count=c), but the backward
+        # avoids XLA's pathological depthwise weight-gradient
+        y = DepthwiseConv(self.dim, 3, self.dtype, name="dwconv")(y)
         return y.reshape(b, H * W, self.dim)
 
 

@@ -23,9 +23,16 @@ What DOES earn its keep is the backward:
     kernel (same identity the reference uses, dwconv_layer.py:19-31).
   * wgrad: XLA's native depthwise weight-gradient lowering is pathological
     (measured ~20x the data-gradient cost on v5e); it is replaced by
-    per-tap shifted XLA reductions. (A Pallas wgrad kernel also exists for
-    benchmarking, but Mosaic cannot prove sublane alignment for its
-    tap-windowed loads at real model shapes, so it is not dispatched.)
+    per-tap shifted XLA reductions. A Pallas wgrad kernel exists as well:
+    its original tap loop used a traced start on the sublane dim (Mosaic:
+    "cannot statically prove that index in dimension 2 is a multiple of
+    8"); fixed by unrolling the kw column taps statically and keeping only
+    the outer row index dynamic. Measured (chain-delta, 64x64x64x384, the
+    reference's own sweep shape): ties per-tap XLA at k=3 (2.8 vs 2.6 ms),
+    wins 1.87x at k=7 (7.8 vs 14.6 ms); k=13 still hits an opaque
+    remote-compile failure on grids >8 steps. Production models only use
+    k=3 depthwise, so the per-tap XLA form stays the dispatched wgrad and
+    the Pallas kernel remains opt-in for large-k use.
 """
 
 from __future__ import annotations
@@ -85,14 +92,18 @@ def _dwconv2d_wgrad_pallas(x, g, kh: int, kw: int, interpret=False):
 
         gblk = g_ref[0].astype(jnp.float32)
 
-        def body(idx, _):
-            i = idx // kw
-            j = idx % kw
-            win = xp_ref[0, pl.ds(i, h), pl.ds(j, w), :].astype(jnp.float32)
-            dw_ref[i, j, :] += jnp.sum(win * gblk, axis=(0, 1))
+        def body(i, _):
+            # dynamic start only on the OUTER row dim; the kw column taps are
+            # statically unrolled — a traced start on the sublane dim is what
+            # Mosaic rejects ("cannot statically prove that index in
+            # dimension 2 is a multiple of 8")
+            row = xp_ref[0, pl.ds(i, h), :, :].astype(jnp.float32)
+            for j in range(kw):
+                win = row[:, j:j + w, :]
+                dw_ref[i, j, :] += jnp.sum(win * gblk, axis=(0, 1))
             return 0
 
-        lax.fori_loop(0, kh * kw, body, 0)
+        lax.fori_loop(0, kh, body, 0)
 
     return pl.pallas_call(
         kern,
@@ -148,11 +159,9 @@ def _bwd(res, g):
     dx = _dwconv2d_impl(g, wflip, None)
     # wgrad: per-tap shifted reductions. This IS the production path — it is
     # what replaces XLA's pathological native depthwise weight-gradient
-    # (~20x the dgrad cost). The Pallas wgrad kernel below is kept for
-    # benchmarking/opt-in but NOT dispatched: Mosaic cannot prove sublane
-    # alignment for its tap-windowed loads at real model shapes
-    # ("cannot statically prove that index in dimension 2 is a multiple of
-    # 8" at 224^2; caught by benchmarks/bench_train_step.py).
+    # (~20x the dgrad cost), and it ties the Pallas kernel at the k=3 the
+    # models actually use (module docstring for the measured sweep). The
+    # Pallas wgrad stays opt-in for large-k experimentation.
     b, h, w, c = x.shape
     ph, pw = (kh - 1) // 2, (kw - 1) // 2
     xp = jnp.pad(x, ((0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw), (0, 0)))

@@ -35,10 +35,41 @@ def _axis_weights(in_size: int, out_size: int, align_corners: bool):
     return lo, hi, frac
 
 
+def _upsample2_axis(x: jax.Array, axis: int):
+    """2x bilinear along one axis, align_corners=False, gather-free.
+
+    The source pattern is periodic with period 2 — out[2i] = 0.25*x[i-1] +
+    0.75*x[i], out[2i+1] = 0.75*x[i] + 0.25*x[i+1] (borders clamped) — so it
+    lowers to shifted slices + an interleave reshape. On v5e the generic
+    jnp.take form was 13.7 ms/step of UNext b512 (28% of the model, gathers
+    are NOT turned into dynamic-slices by XLA); this form is bytes-bound.
+    Product/sum ordering matches the gather path bit-for-bit."""
+    from jax import lax
+
+    lo = jnp.concatenate(
+        [lax.slice_in_dim(x, 0, 1, axis=axis),
+         lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)], axis=axis
+    )
+    hi = jnp.concatenate(
+        [lax.slice_in_dim(x, 1, None, axis=axis),
+         lax.slice_in_dim(x, x.shape[axis] - 1, None, axis=axis)], axis=axis
+    )
+    c1 = jnp.asarray(0.25, x.dtype)
+    c3 = jnp.asarray(0.75, x.dtype)
+    even = lo * c1 + x * c3
+    odd = x * c3 + hi * c1
+    y = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] *= 2
+    return y.reshape(shape)
+
+
 def _resize_axis(x: jax.Array, axis: int, out_size: int, align_corners: bool):
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
+    if not align_corners and out_size == 2 * in_size:
+        return _upsample2_axis(x, axis)
     lo, hi, frac = _axis_weights(in_size, out_size, align_corners)
     a = jnp.take(x, lo, axis=axis)
     b = jnp.take(x, hi, axis=axis)
@@ -48,10 +79,49 @@ def _resize_axis(x: jax.Array, axis: int, out_size: int, align_corners: bool):
     return a * (1 - frac) + b * frac
 
 
+def _upsample2_hw(x: jax.Array):
+    """Fused 2x-both-axes bilinear (align_corners=False), gather-free.
+
+    One replicate-pad, four 4-tap phase maps (a single XLA fusion), one
+    interleave — instead of two sequential per-axis passes each with their
+    own shifted-copy materializations. Accumulation order differs from the
+    separable two-pass form by one rounding (products fused), within 1e-7
+    of the torch oracle in fp32."""
+    from jax import lax
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    h, w = x.shape[1], x.shape[2]
+
+    def sl(di, dj):
+        return lax.slice(
+            xp, (0, 1 + di, 1 + dj, 0),
+            (xp.shape[0], 1 + di + h, 1 + dj + w, xp.shape[3]),
+        )
+
+    c11 = jnp.asarray(0.0625, x.dtype)   # 0.25*0.25
+    c13 = jnp.asarray(0.1875, x.dtype)   # 0.25*0.75
+    c33 = jnp.asarray(0.5625, x.dtype)   # 0.75*0.75
+    xmm, xm0, xm1 = sl(-1, -1), sl(-1, 0), sl(-1, 1)
+    x0m, x00, x01 = sl(0, -1), sl(0, 0), sl(0, 1)
+    x1m, x10, x11 = sl(1, -1), sl(1, 0), sl(1, 1)
+    ee = c11 * xmm + c13 * xm0 + c13 * x0m + c33 * x00
+    eo = c13 * xm0 + c11 * xm1 + c33 * x00 + c13 * x01
+    oe = c13 * x0m + c33 * x00 + c11 * x1m + c13 * x10
+    oo = c33 * x00 + c13 * x01 + c13 * x10 + c11 * x11
+    # interleave via the s2d frame unpack (lane concat + one transpose) —
+    # cheaper than two stack/reshape interleaves on TPU
+    from accunet_tpu.ops import s2d
+
+    return s2d.unpack(jnp.concatenate([ee, eo, oe, oo], axis=-1))
+
+
 def resize_bilinear(
     x: jax.Array, out_hw: tuple[int, int], align_corners: bool = False
 ) -> jax.Array:
     """Bilinear resize of NHWC tensor to (H', W')."""
+    if (not align_corners and out_hw[0] == 2 * x.shape[1]
+            and out_hw[1] == 2 * x.shape[2]):
+        return _upsample2_hw(x)
     x = _resize_axis(x, 1, out_hw[0], align_corners)
     x = _resize_axis(x, 2, out_hw[1], align_corners)
     return x

@@ -80,11 +80,21 @@ def _resize_axis(x: jax.Array, axis: int, out_size: int, align_corners: bool):
 
 
 def _upsample2_hw(x: jax.Array):
-    """Fused 2x-both-axes bilinear (align_corners=False), gather-free.
+    from accunet_tpu.ops import s2d
 
-    One replicate-pad, four 4-tap phase maps (a single XLA fusion), one
-    interleave — instead of two sequential per-axis passes each with their
-    own shifted-copy materializations. Accumulation order differs from the
+    # interleave via the s2d frame unpack (lane concat + one transpose) —
+    # cheaper than two stack/reshape interleaves on TPU
+    return s2d.unpack(_upsample2_phases(x))
+
+
+def _upsample2_phases(x: jax.Array):
+    """Fused 2x-both-axes bilinear (align_corners=False), gather-free,
+    returned as the four phase blocks on channels (= the s2d frame of the
+    output; see upsample2_to_frame).
+
+    One replicate-pad, four 4-tap phase maps (a single XLA fusion) —
+    instead of two sequential per-axis passes each with their own
+    shifted-copy materializations. Accumulation order differs from the
     separable two-pass form by one rounding (products fused), within 1e-7
     of the torch oracle in fp32."""
     from jax import lax
@@ -108,11 +118,18 @@ def _upsample2_hw(x: jax.Array):
     eo = c13 * xm0 + c11 * xm1 + c33 * x00 + c13 * x01
     oe = c13 * x0m + c33 * x00 + c11 * x1m + c13 * x10
     oo = c33 * x00 + c13 * x01 + c13 * x10 + c11 * x11
-    # interleave via the s2d frame unpack (lane concat + one transpose) —
-    # cheaper than two stack/reshape interleaves on TPU
-    from accunet_tpu.ops import s2d
+    return jnp.concatenate([ee, eo, oe, oo], axis=-1)
 
-    return s2d.unpack(jnp.concatenate([ee, eo, oe, oo], axis=-1))
+
+def upsample2_to_frame(x: jax.Array) -> jax.Array:
+    """2x bilinear upsample emitted AS an s2d frame (ops/s2d.py layout).
+
+    The four interpolation phases of an exact-2x bilinear upsample are
+    precisely the four position blocks of the output's space-to-depth frame,
+    so a consumer that works in the frame (conv1x1/conv3x3/elementwise) can
+    skip the interleave relayout entirely: (B,H,W,C) -> (B,H,W,4C) with
+    s2d.unpack(result) == upsample_bilinear_2x(x)."""
+    return _upsample2_phases(x)
 
 
 def resize_bilinear(

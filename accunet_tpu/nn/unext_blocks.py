@@ -38,28 +38,32 @@ def _torch_chunk_sizes(c: int, n: int) -> list[int]:
 
 
 def axial_shift(x: jax.Array, axis: int, shift_size: int = 5) -> jax.Array:
-    """Zero-filled per-chunk shifts along `axis` (1=H, 2=W for NHWC)."""
+    """Zero-filled per-chunk shifts along `axis` (1=H, 2=W for NHWC).
+
+    A per-chunk spatial shift is a depthwise conv with a one-hot kernel —
+    one clean XLA op instead of shift_size misaligned lane slices + a lane
+    concat (which cost 3.7 ms/step in UNext b512's dblock2_0 alone on v5e).
+    Bit-exact: multiplying by the 1.0 tap and summing zero taps is the
+    identity, and conv 'SAME' zero-padding matches the zero fill."""
+    import numpy as np
+    from jax import lax
+
     pad = shift_size // 2
     c = x.shape[-1]
     sizes = _torch_chunk_sizes(c, shift_size)
-    shifts = range(-pad, pad + 1)
-    pieces = []
+    onehot = np.zeros((shift_size, 1, 1, c), np.float32)
     start = 0
-    pad_cfg = [(0, 0)] * x.ndim
-    pad_cfg[axis] = (pad, pad)
-    xp = jnp.pad(x, pad_cfg)
-    n_axis = x.shape[axis]
-    for size, s in zip(sizes, shifts):
-        if size == 0:
-            continue
-        sl = [slice(None)] * x.ndim
-        sl[-1] = slice(start, start + size)
-        ch = xp[tuple(sl)]
-        sl2 = [slice(None)] * x.ndim
-        sl2[axis] = slice(pad - s, pad - s + n_axis)
-        pieces.append(ch[tuple(sl2)])
+    for size, s in zip(sizes, range(-pad, pad + 1)):
+        # out[i] = x[i - s]: cross-correlation tap index k = pad - s
+        onehot[pad - s, 0, 0, start:start + size] = 1.0
         start += size
-    return jnp.concatenate(pieces, axis=-1)
+    k = jnp.asarray(onehot, x.dtype)
+    if axis == 2:
+        k = k.transpose(1, 0, 2, 3)
+    return lax.conv_general_dilated(
+        x, k, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
 
 
 class DWConv(nn.Module):

@@ -97,28 +97,22 @@ class UNext(nn.Module):
 
         out = up_add(out, "decoder3", "dbn3", s2, t2)
         out = up_add(out, "decoder4", "dbn4", s1, t1)
+        out = up_add(out, "decoder5", None, s1, None)
 
-        # --- full-resolution tail in the s2d frame (TPU layout win): the 2x
-        # upsample's four phases ARE the output's frame positions, so
-        # decoder5's relu and the 1x1 head run on a (H/2, W/2, 4C) map with
-        # dense aligned lanes, and only the n_classes-channel logits are
-        # ever interleaved back. Math is identical to
-        # relu(up(conv)) -> conv1x1 -> sigmoid on the standard layout.
-        # (Extending the frame one stage earlier — decoder4 upsample +
-        # skip-add + decoder5 conv3x3 in-frame — was measured WORSE, 14.2k
-        # vs 15.2k img/s b1024: the extra pack/unpack round-trips outweigh
-        # the dense-lane win at 16/32 channels.)
+        # 1x1 head as a plain matmul (same params/names as nn.Conv). An
+        # s2d-frame tail (upsample phases emitted as frame positions, head
+        # in-frame) was the winner while the upsample was phase-based; with
+        # the depthwise lhs-dilated-conv upsample (ops/resize.py) the plain
+        # tail is 24% faster (23.0k vs 18.6k img/s b1024) and was restored.
         from accunet_tpu.nn.acc_blocks import _ConvParams
-        from accunet_tpu.ops import s2d
-        from accunet_tpu.ops.resize import upsample2_to_frame
 
-        y = conv(s1, "decoder5")(out)
-        yf = jax.nn.relu(upsample2_to_frame(y))
         ko, bo = _ConvParams(1, 1, s1, self.n_classes, name="final")()
-        lf = s2d.conv1x1(yf, ko[0, 0].astype(dt), bo.astype(dt))
+        logits = jnp.einsum(
+            "bhwc,co->bhwo", out, ko[0, 0].astype(dt)
+        ) + bo.astype(dt)
         if self.n_classes == 1 and self.final_sigmoid:
-            lf = jax.nn.sigmoid(lf)
-        return s2d.unpack(lf).astype(jnp.float32)
+            logits = jax.nn.sigmoid(logits)
+        return logits.astype(jnp.float32)
 
 
 def UNext_S(n_channels=3, n_classes=1, **kw):

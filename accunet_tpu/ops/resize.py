@@ -80,11 +80,27 @@ def _resize_axis(x: jax.Array, axis: int, out_size: int, align_corners: bool):
 
 
 def _upsample2_hw(x: jax.Array):
-    from accunet_tpu.ops import s2d
+    """Exact-2x bilinear as a depthwise lhs-dilated conv.
 
-    # interleave via the s2d frame unpack (lane concat + one transpose) —
-    # cheaper than two stack/reshape interleaves on TPU
-    return s2d.unpack(_upsample2_phases(x))
+    Replicate-pad by 1, depthwise conv with the separable 4-tap bilinear
+    kernel on the 2x-dilated input, crop 2 — XLA's conv emitter handles the
+    interleaving internally. Measured v5e b512: 1.6 vs 7.9 ms (56^2 c16)
+    and 6.4 vs 11.1 ms (112^2 c16) against the phase+unpack form, and
+    bit-identical output (the 1.0/0.25/0.75 taps and zero terms are exact).
+    """
+    from jax import lax
+
+    c = x.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    t = jnp.asarray([0.25, 0.75, 0.75, 0.25], x.dtype)
+    k = (t[:, None] * t[None, :])[:, :, None, None] * jnp.ones(
+        (1, 1, 1, c), x.dtype
+    )
+    y = lax.conv_general_dilated(
+        xp, k, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
+    return y[:, 2:-2, 2:-2, :]
 
 
 def _upsample2_phases(x: jax.Array):

@@ -74,3 +74,16 @@ def test_resize_arbitrary_matches_torch_align_corners():
         .numpy()
     )
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+@pytest.mark.quick
+def test_upsample2_to_frame_matches_unpacked():
+    from accunet_tpu.ops import s2d
+    from accunet_tpu.ops.resize import upsample2_to_frame
+
+    x = jnp.asarray(_rand(3, (2, 6, 10, 8)))
+    frame = upsample2_to_frame(x)
+    ref = upsample_bilinear_2x(x)
+    np.testing.assert_allclose(
+        np.asarray(s2d.unpack(frame)), np.asarray(ref), atol=1e-6
+    )

@@ -29,10 +29,16 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--s2d", type=int, default=None,
+                    help="ACC-UNet family: top-N levels in the s2d frame "
+                         "(exact in training too — frame BN reduces over "
+                         "positions)")
     args = ap.parse_args()
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     kwargs = {"remat": True} if args.remat else {}
+    if args.s2d is not None:
+        kwargs["s2d_levels"] = args.s2d
     model = build(args.model, n_channels=3, n_classes=1, dtype=dt, **kwargs)
     tx = optax.adam(1e-3)
 

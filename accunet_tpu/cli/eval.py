@@ -28,6 +28,14 @@ def main(argv=None):
     ap.add_argument("--csv", default="metrics_results.csv")
     ap.add_argument("--result", default="test.result")
     ap.add_argument("--dump-dir", default=None)
+    ap.add_argument("--s2d", type=int, default=None,
+                    help="ACC-UNet family: run the top-N levels in the s2d "
+                         "frame (checkpoints are layout-independent — the "
+                         "frame path mirrors the parameter tree exactly)")
+    ap.add_argument("--model-kwargs", default=None,
+                    help="python dict literal of extra model kwargs, must "
+                         "match the trained checkpoint (e.g. "
+                         "\"{'n_filts': 8}\")")
     args = ap.parse_args(argv)
 
     import jax
@@ -55,7 +63,13 @@ def main(argv=None):
     )
     sample, _ = ds[0]
     n_ch = sample["image"].shape[-1]
-    model = build_model(args.model, n_channels=n_ch, n_classes=args.n_classes)
+    ekw = {} if args.s2d is None else {"s2d_levels": args.s2d}
+    if args.model_kwargs:
+        import ast
+
+        ekw.update(ast.literal_eval(args.model_kwargs))
+    model = build_model(args.model, n_channels=n_ch, n_classes=args.n_classes,
+                        **ekw)
 
     x0 = jnp.zeros((1, cfg.data.img_size, cfg.data.img_size, n_ch))
     variables = model.init(jax.random.PRNGKey(0), x0, train=False)

@@ -86,6 +86,11 @@ def main(argv=None):
     ap.add_argument("--text", action="store_true",
                     help="force-enable text prompts (auto for TEXT_MODELS "
                          "when prompt files are present)")
+    ap.add_argument("--s2d", type=int, default=None,
+                    help="ACC-UNet family: train with the top-N levels in "
+                         "the space-to-depth frame (ops/s2d.py) — exact "
+                         "(frame BatchNorm reduces over positions), same "
+                         "parameter tree, faster on TPU")
     ap.add_argument("--resume", default=None, help="checkpoint path to resume")
     ap.add_argument("--set", nargs="*", default=[], help="dotted config overrides")
     ap.add_argument("--ckpt-dir", default=None)
@@ -197,6 +202,8 @@ def main(argv=None):
     n_ch = sample["image"].shape[-1]
     n_cls = args.n_classes
     mkw = dict(cfg.model.kwargs)
+    if args.s2d is not None:
+        mkw["s2d_levels"] = args.s2d
     model = build_model(
         args.model,
         n_channels=n_ch,

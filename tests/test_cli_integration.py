@@ -58,3 +58,46 @@ def test_train_then_eval_cli(tmp_path):
     lines = csv.read_text().strip().splitlines()
     assert len(lines) == 5  # header + 4 images
     assert (tmp_path / "test.result").exists()
+
+
+def test_train_then_eval_cli_s2d(tmp_path):
+    """--s2d trains ACC_UNet_Lite in the frame layout and the checkpoint
+    round-trips into a frame-layout eval (identical parameter trees)."""
+    train_dir = tmp_path / "train"
+    val_dir = tmp_path / "val"
+    test_dir = tmp_path / "test"
+    for d, n in ((train_dir, 6), (val_dir, 3), (test_dir, 3)):
+        _make_dataset(d, n)
+
+    from accunet_tpu.cli import eval as eval_cli
+    from accunet_tpu.cli import train as train_cli
+
+    ckpt_dir = tmp_path / "ckpt"
+    train_cli.main([
+        "--model", "ACC_UNet_Lite",
+        "--train-dir", str(train_dir),
+        "--val-dir", str(val_dir),
+        "--epochs", "1",
+        "--s2d", "1",
+        "--ckpt-dir", str(ckpt_dir),
+        "--set", "data.img_size=32", "data.batch_size=3",
+        "model.kwargs={'n_filts': 8}",
+    ])
+    ckpts = sorted(os.listdir(ckpt_dir))
+    assert ckpts, "no checkpoint written"
+
+    csv = tmp_path / "metrics.csv"
+    eval_cli.main([
+        "--model", "ACC_UNet_Lite",
+        "--test-dir", str(test_dir),
+        "--ckpt", str(ckpt_dir / ckpts[-1]),
+        "--batch", "3",
+        "--s2d", "1",
+        "--model-kwargs", "{'n_filts': 8}",
+        "--csv", str(csv),
+        "--result", str(tmp_path / "test.result"),
+        "--img-size", "32",
+        "--task", "ISIC18",
+    ])
+    lines = csv.read_text().strip().splitlines()
+    assert len(lines) == 4  # header + 3 images

@@ -60,7 +60,11 @@ def main():
 
     best = 0.0
     best_bs = 0
-    for bs in args.batches:
+    # the serving relay in front of the chip has transient outages; retry
+    # each batch config (with a pause) rather than recording 0.0
+    queue = [(bs, 0) for bs in args.batches]
+    while queue:
+        bs, attempt = queue.pop(0)
         try:
             # Timing methodology for the serving relay in front of the chip:
             #  * block_until_ready is acked before execution completes, and
@@ -108,8 +112,16 @@ def main():
                 t0 = time.perf_counter()
                 float(chained(variables, xr))
                 dt = min(dt, time.perf_counter() - t0)
-        except Exception as e:  # OOM at large batch etc.
-            print(f"batch {bs} failed: {e}", file=sys.stderr)
+        except Exception as e:  # OOM at large batch, relay hiccup, ...
+            print(f"batch {bs} failed (attempt {attempt + 1}): {e}",
+                  file=sys.stderr)
+            msg = str(e)
+            transient = any(s in msg for s in
+                            ("UNAVAILABLE", "INTERNAL", "DEADLINE",
+                             "remote_compile", "Unavailable"))
+            if transient and attempt < 2:
+                time.sleep(30 * (attempt + 1))
+                queue.append((bs, attempt + 1))
             continue
         ips = bs * steps / dt
         print(f"batch {bs}: {ips:.1f} img/s", file=sys.stderr)

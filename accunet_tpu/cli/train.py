@@ -176,11 +176,15 @@ def main(argv=None):
     )
     train_tf = RandomGenerator((cfg.data.img_size, cfg.data.img_size))
     val_tf = ValGenerator((cfg.data.img_size, cfg.data.img_size))
-    train_loader = BatchLoader(
+    from accunet_tpu.data.loader import PrefetchLoader
+
+    train_loader = PrefetchLoader(BatchLoader(
         train_ds, cfg.data.batch_size, train_tf, shuffle=True,
         seed=cfg.train.seed, drop_last=True,
+    ))
+    val_loader = PrefetchLoader(
+        BatchLoader(val_ds, cfg.data.batch_size, val_tf, pad_last=True)
     )
-    val_loader = BatchLoader(val_ds, cfg.data.batch_size, val_tf, pad_last=True)
 
     # ---- text prompts (train_model.py:286-291; xlsx/csv per split dir) ----
     use_text = args.text or args.model in TEXT_MODELS

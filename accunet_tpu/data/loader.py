@@ -80,3 +80,55 @@ class BatchLoader:
                 "count": true_count,
             }
         self.epoch += 1
+
+
+class PrefetchLoader:
+    """Background-thread prefetch around any batch iterable.
+
+    Replaces torch DataLoader's worker prefetch (the reference trains with
+    num_workers=0, so this exceeds it): a daemon thread runs the inner
+    iterator and fills a bounded queue, overlapping host-side decode/augment
+    (numpy, GIL-releasing) with device compute. Determinism is untouched —
+    batches arrive in the exact order the inner loader yields them; only
+    their preparation is pipelined.
+    """
+
+    _END = object()
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def set_epoch(self, epoch: int):
+        if hasattr(self.loader, "set_epoch"):
+            self.loader.set_epoch(epoch)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        err = []
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            except BaseException as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                q.put(self._END)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is self._END:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]

@@ -64,3 +64,42 @@ def test_fit_loss_decreases_and_ckpt_roundtrip(tmp_path):
         np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
         np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
     )
+
+
+@pytest.mark.quick
+def test_prefetch_loader_preserves_order_and_errors():
+    from accunet_tpu.data.loader import PrefetchLoader
+
+    class FakeLoader:
+        def __init__(self):
+            self.epoch = 0
+
+        def __len__(self):
+            return 5
+
+        def set_epoch(self, e):
+            self.epoch = e
+
+        def __iter__(self):
+            for i in range(5):
+                yield {"i": i, "epoch": self.epoch}
+
+    pf = PrefetchLoader(FakeLoader())
+    pf.set_epoch(3)
+    got = list(pf)
+    assert [b["i"] for b in got] == [0, 1, 2, 3, 4]
+    assert all(b["epoch"] == 3 for b in got)
+    assert len(pf) == 5
+    # second epoch re-iterates cleanly
+    assert [b["i"] for b in pf] == [0, 1, 2, 3, 4]
+
+    class Boom:
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            yield {"i": 0}
+            raise ValueError("boom")
+
+    with pytest.raises(ValueError, match="boom"):
+        list(PrefetchLoader(Boom()))

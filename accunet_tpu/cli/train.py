@@ -91,6 +91,9 @@ def main(argv=None):
                          "the space-to-depth frame (ops/s2d.py) — exact "
                          "(frame BatchNorm reduces over positions), same "
                          "parameter tree, faster on TPU")
+    ap.add_argument("--check-numerics", action="store_true",
+                    help="abort on the first non-finite train loss (per-batch "
+                         "host sync; the sanitizer analogue, SURVEY 5.2)")
     ap.add_argument("--resume", default=None, help="checkpoint path to resume")
     ap.add_argument("--set", nargs="*", default=[], help="dotted config overrides")
     ap.add_argument("--ckpt-dir", default=None)
@@ -274,6 +277,7 @@ def main(argv=None):
         epochs=cfg.train.epochs,
         ckpt_dir=cfg.train.ckpt_dir,
         early_stop_patience=cfg.train.early_stop_patience,
+        check_numerics=args.check_numerics,
     )
     logging.info("done: best val dice %.4f",
                  max((h["val"].get("dice", 0) for h in history), default=0))

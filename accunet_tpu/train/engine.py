@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+import math
 import os
 import time
 from typing import Any, Callable, Iterable
@@ -199,7 +200,13 @@ def make_train_fns(
     )
 
 
-def run_epoch(step_fn, state, loader: Iterable, train: bool, shard_batch=None):
+def run_epoch(step_fn, state, loader: Iterable, train: bool, shard_batch=None,
+              check_numerics: bool = False):
+    """One epoch. `check_numerics` is the framework's sanitizer analogue
+    (SURVEY §5.2 — the reference has none): a per-batch host sync that
+    aborts on the first non-finite loss with the batch index, instead of
+    silently training on NaNs for the rest of the epoch. Costs one device
+    round-trip per batch, so it is opt-in."""
     agg, n = None, 0
     t0 = time.time()
     for batch in loader:
@@ -209,6 +216,13 @@ def run_epoch(step_fn, state, loader: Iterable, train: bool, shard_batch=None):
             state, stats = step_fn(state, batch)
         else:
             stats = step_fn(state, batch)
+        if check_numerics and "loss" in stats:
+            loss = float(stats["loss"])
+            if not math.isfinite(loss):
+                raise FloatingPointError(
+                    f"non-finite loss {loss} at batch {n} "
+                    f"({'train' if train else 'eval'})"
+                )
         agg = stats if agg is None else jax.tree_util.tree_map(jnp.add, agg, stats)
         n += 1
     agg = jax.tree_util.tree_map(lambda x: float(x) / n, agg) if n else {}
@@ -258,6 +272,7 @@ def fit(
     early_stop_patience: int = 100,
     log_every: bool = True,
     tensorboard_dir: str | None = None,
+    check_numerics: bool = False,
 ):
     """Epoch driver with best-dice checkpointing and early stopping
     (train_model.py:782-831). `tensorboard_dir` enables epoch-scalar logging
@@ -275,7 +290,8 @@ def fit(
     history = []
     for epoch in range(1, epochs + 1):
         state, tr = run_epoch(
-            fns.train_step, state, train_loader_factory(), True, fns.shard_batch
+            fns.train_step, state, train_loader_factory(), True,
+            fns.shard_batch, check_numerics=check_numerics,
         )
         _, va = run_epoch(
             fns.eval_step, state, val_loader_factory(), False, fns.shard_batch

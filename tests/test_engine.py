@@ -103,3 +103,20 @@ def test_prefetch_loader_preserves_order_and_errors():
 
     with pytest.raises(ValueError, match="boom"):
         list(PrefetchLoader(Boom()))
+
+
+@pytest.mark.quick
+def test_check_numerics_aborts_on_nan():
+    import jax.numpy as jnp
+
+    from accunet_tpu.train.engine import run_epoch
+
+    def bad_step(state, batch):
+        return state, {"loss": jnp.float32(float("nan"))}
+
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        run_epoch(bad_step, {}, [{"x": 1}], train=True, check_numerics=True)
+
+    # without the flag the epoch completes (reference behavior)
+    _, agg = run_epoch(bad_step, {}, [{"x": 1}], train=True)
+    assert agg["batches"] == 1

@@ -94,7 +94,10 @@ def main(argv=None):
     ap.add_argument("--check-numerics", action="store_true",
                     help="abort on the first non-finite train loss (per-batch "
                          "host sync; the sanitizer analogue, SURVEY 5.2)")
-    ap.add_argument("--resume", default=None, help="checkpoint path to resume")
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint path to resume, or 'auto' to pick up "
+                         "the newest checkpoint in --ckpt-dir (restart "
+                         "resilience; fresh run if none)")
     ap.add_argument("--set", nargs="*", default=[], help="dotted config overrides")
     ap.add_argument("--ckpt-dir", default=None)
     args = ap.parse_args(argv)
@@ -265,6 +268,18 @@ def main(argv=None):
         iou_fn=iou_fn,
         mesh=mesh,
     )
+    if args.resume == "auto":
+        # restart-resilience: pick up the newest checkpoint in ckpt_dir if
+        # one exists (fresh run otherwise) — lets a supervisor just relaunch
+        # the same command after a preemption/crash
+        ckpts = sorted(os.listdir(cfg.train.ckpt_dir)) if (
+            cfg.train.ckpt_dir and os.path.isdir(cfg.train.ckpt_dir)
+        ) else []
+        args.resume = (
+            os.path.join(cfg.train.ckpt_dir, ckpts[-1]) if ckpts else None
+        )
+        if args.resume is None:
+            logging.info("--resume auto: no checkpoint found, fresh run")
     if args.resume:
         state, meta = restore_checkpoint(args.resume, fns.state)
         fns = dataclasses.replace(fns, state=state)

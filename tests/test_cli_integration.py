@@ -101,3 +101,30 @@ def test_train_then_eval_cli_s2d(tmp_path):
     ])
     lines = csv.read_text().strip().splitlines()
     assert len(lines) == 4  # header + 3 images
+
+
+def test_resume_auto(tmp_path):
+    """--resume auto restarts from the newest checkpoint (and is a no-op on
+    a fresh directory)."""
+    train_dir = tmp_path / "train"
+    val_dir = tmp_path / "val"
+    for d, n in ((train_dir, 6), (val_dir, 3)):
+        _make_dataset(d, n)
+
+    from accunet_tpu.cli import train as train_cli
+
+    ckpt_dir = tmp_path / "ckpt"
+    common = [
+        "--model", "UNet_base",
+        "--train-dir", str(train_dir),
+        "--val-dir", str(val_dir),
+        "--epochs", "1",
+        "--ckpt-dir", str(ckpt_dir),
+        "--resume", "auto",
+        "--set", "data.img_size=32", "data.batch_size=3",
+        "model.kwargs={'base_width': 4}",
+    ]
+    train_cli.main(common)          # fresh run (no checkpoint yet)
+    first = sorted(os.listdir(ckpt_dir))
+    assert first
+    train_cli.main(common)          # resumes from the newest checkpoint

@@ -1,44 +1,219 @@
 """Headline benchmark: 224x224 inference throughput (images/sec/chip).
 
-Default model is UNext (the throughput headline: >10k img/s/chip, 2x the
-5,000 target). The BASELINE.json config-1 model is ACC_UNet_Lite — run
-`python bench.py --model ACC_UNet_Lite --batches 8` for its number and see
-ROOFLINE.md for why its ceiling is far lower. Sweeps batch size and prints
-ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+Default run measures three things and prints ONE JSON line:
+  * headline: UNext bf16 inference (the throughput headline, >20k img/s/chip
+    measured in round 2 — 4x the 5,000 target),
+  * extras.ACC_UNet_Lite_infer_b8: BASELINE config 1 (ACC_UNet_Lite binary
+    224x224 inference),
+  * extras.ACC_UNet_train_b8: BASELINE config 2 (full 16.77M ACC-UNet train
+    step, BCE+Dice, Adam, batch 8).
+
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
+   "extras": {...}}
+
 vs_baseline is measured against the driver target of 5,000 img/s/chip
 (BASELINE.md). Pass --model/--batches/--steps/--s2d to explore.
+
+Outage hardening (the serving relay in front of the chip has multi-hour
+outages during which backend init BLOCKS rather than raising — BENCH_r02 was
+rc=124 with no output): every measurement attempt runs in a watchdog
+subprocess with a hard per-attempt timeout, total wall-clock is capped well
+under the driver budget, and the final JSON line is ALWAYS printed — on total
+failure with value 0 and an "error" field, never silence.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
-sys.path.insert(0, "/root/repo")
-
 TARGET = 5000.0
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def build(model_name: str, dtype, s2d_levels=None):
+# --------------------------------------------------------------------------
+# worker side: one measurement in one subprocess (the only code that touches
+# the jax backend, and therefore the only code that can hang)
+# --------------------------------------------------------------------------
+
+
+def _worker_main(spec: dict) -> dict:
+    if os.environ.get("_BENCH_TEST_HANG") == "1":  # watchdog test hook
+        time.sleep(3600)
+    if os.environ.get("_BENCH_TEST_FAKE"):  # fast-path test hook (no jax)
+        return json.loads(os.environ["_BENCH_TEST_FAKE"])
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REPO)
     from accunet_tpu.models import build as build_model
 
+    dtype = jnp.bfloat16 if spec["dtype"] == "bfloat16" else jnp.float32
     kwargs = {"n_channels": 3, "n_classes": 1, "dtype": dtype}
-    if s2d_levels:
-        kwargs["s2d_levels"] = s2d_levels
-    return build_model(model_name, **kwargs)
+    if spec.get("s2d"):
+        kwargs["s2d_levels"] = spec["s2d"]
+    model = build_model(spec["model"], **kwargs)
+    bs, img, steps = spec["batch"], spec["img"], spec["steps"]
+
+    # Timing methodology for the serving relay in front of the chip:
+    # block_until_ready is acked before execution completes and per-execution
+    # dispatch carries large variable overhead, so `steps` iterations are
+    # CHAINED INSIDE ONE JIT (each step's input depends numerically on the
+    # previous step's output — forced serialization, no value-cache reuse, no
+    # per-step dispatch cost) and completion is forced by a 4-byte scalar
+    # host readback. See ROOFLINE.md §0.
+    x = jax.jit(
+        lambda k: jax.random.uniform(k, (bs, img, img, 3)).astype(dtype)
+    )(jax.random.PRNGKey(0))
+
+    if spec["kind"] == "train":
+        import optax
+
+        from accunet_tpu.train import losses as L
+
+        y = jax.jit(
+            lambda k: (jax.random.uniform(k, (bs, img, img, 1)) > 0.5)
+            .astype(jnp.float32)
+        )(jax.random.PRNGKey(7))
+        variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x))()
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(params)
+
+        def loss_fn(params, stats, x, y):
+            preds, upd = model.apply(
+                {"params": params, "batch_stats": stats},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return L.weighted_dice_bce(preds, y), upd["batch_stats"]
+
+        @jax.jit
+        def chained(params, stats, opt_state, x, y):
+            def body(_, carry):
+                params, stats, opt_state, _ = carry
+                (loss, stats), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, stats, x, y)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, stats, opt_state, loss
+
+            carry = jax.lax.fori_loop(
+                0, steps, body, (params, stats, opt_state, jnp.float32(0))
+            )
+            return carry[-1]
+
+        float(chained(params, batch_stats, opt_state, x, y))  # compile+warm
+        t0 = time.perf_counter()
+        float(chained(params, batch_stats, opt_state, x, y))
+        dt = time.perf_counter() - t0
+        return {"ok": True, "ips": bs * steps / dt, "batch": bs}
+
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x))()
+
+    @jax.jit
+    def chained(v, x):
+        def body(_, carry):
+            x, tot = carry
+            out = model.apply(v, x + (1e-6 * tot).astype(x.dtype), train=False)
+            # strided sample: keeps the step serialized on the output without
+            # paying a full-resolution reduce per step (a (B,224,224,1) mean
+            # costs multiple ms on its own)
+            probe = out[:, ::8, ::8].mean().astype(jnp.float32)
+            return x, tot + probe
+
+        _, tot = jax.lax.fori_loop(0, steps, body, (x, jnp.float32(0)))
+        return tot
+
+    float(chained(variables, x))  # compile + warm
+    dt = float("inf")
+    for r in range(spec.get("repeats", 1)):
+        xr = jax.jit(
+            lambda k: jax.random.uniform(k, (bs, img, img, 3)).astype(dtype)
+        )(jax.random.PRNGKey(r + 1))
+        t0 = time.perf_counter()
+        float(chained(variables, xr))
+        dt = min(dt, time.perf_counter() - t0)
+    return {"ok": True, "ips": bs * steps / dt, "batch": bs}
+
+
+# --------------------------------------------------------------------------
+# parent side: job scheduling, watchdogs, deadline, final JSON
+# --------------------------------------------------------------------------
+
+_TRANSIENT = ("UNAVAILABLE", "INTERNAL", "DEADLINE", "remote_compile",
+              "Unavailable", "RESOURCE_EXHAUSTED")
+_RETRY_SLEEP = float(os.environ.get("BENCH_RETRY_SLEEP", "20"))
+
+
+def _run_attempt(spec: dict, timeout: float) -> dict:
+    """Run one measurement attempt in a watchdog subprocess."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_worker",
+             json.dumps(spec)],
+            capture_output=True, text=True, timeout=timeout, cwd=REPO,
+        )
+    except subprocess.TimeoutExpired:
+        return {"ok": False, "error": f"timeout after {timeout:.0f}s",
+                "hang": True}
+    for line in reversed((proc.stdout or "").strip().splitlines()):
+        try:
+            return json.loads(line)
+        except (ValueError, json.JSONDecodeError):
+            continue
+    tail = (proc.stderr or "").strip().splitlines()[-3:]
+    return {"ok": False,
+            "error": f"worker rc={proc.returncode}: {' | '.join(tail)}"}
+
+
+def _measure(spec, deadline, attempt_timeout, errors, state):
+    """Measure one spec with retries, respecting the global deadline.
+
+    Returns img/s or None. ``state['hangs']`` counts consecutive watchdog
+    kills — after 2 the relay is considered down and everything left is
+    skipped (retrying a hung backend just burns the driver budget).
+    """
+    label = f"{spec['model']}/{spec['kind']}/b{spec['batch']}"
+    min_needed = min(60.0, attempt_timeout + 10)
+    for attempt in range(3):
+        remaining = deadline - time.time()
+        if state["hangs"] >= 2:
+            errors.append(f"{label}: skipped (relay appears down)")
+            return None
+        if remaining < min_needed:
+            errors.append(f"{label}: skipped (deadline)")
+            return None
+        res = _run_attempt(spec, min(attempt_timeout, remaining - 10))
+        if res.get("ok"):
+            state["hangs"] = 0
+            print(f"{label}: {res['ips']:.1f} img/s", file=sys.stderr)
+            return res["ips"]
+        err = res.get("error", "unknown")
+        print(f"{label} attempt {attempt + 1} failed: {err}", file=sys.stderr)
+        if res.get("hang"):
+            state["hangs"] += 1
+            errors.append(f"{label}: {err}")
+            return None  # a hang is an outage, not a flake — don't re-hang
+        if any(s in err for s in _TRANSIENT) and attempt < 2:
+            time.sleep(min(_RETRY_SLEEP * (attempt + 1),
+                           max(0, deadline - time.time())))
+            continue
+        errors.append(f"{label}: {err}")
+        return None
+    return None
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="UNext")
     ap.add_argument("--img", type=int, default=224)
-    ap.add_argument("--batches", type=int, nargs="*", default=[512, 1024])
+    ap.add_argument("--batches", type=int, nargs="*", default=[1024])
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--repeats", type=int, default=1,
                     help="keep 1 unless inputs are regenerated: re-feeding "
@@ -50,93 +225,72 @@ def main():
                          "space-to-depth frame (ops/s2d.py); defaults to 2 "
                          "for ACC_UNet* models (measured fastest on v5e "
                          "with the fused HANC-block kernel)")
+    ap.add_argument("--no-extras", action="store_true",
+                    help="skip the BASELINE-config extras (ACC_UNet_Lite "
+                         "inference, ACC-UNet train step)")
+    ap.add_argument("--total-timeout", type=float,
+                    default=float(os.environ.get("BENCH_TOTAL_TIMEOUT", 1200)),
+                    help="hard wall-clock cap for the whole run (s)")
+    ap.add_argument("--attempt-timeout", type=float,
+                    default=float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", 420)),
+                    help="watchdog timeout per measurement attempt (s)")
+    ap.add_argument("--_worker", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args._worker is not None:
+        try:
+            out = _worker_main(json.loads(args._worker))
+        except Exception as e:  # noqa: BLE001 — report, parent decides
+            out = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(out), flush=True)
+        return
+
+    deadline = time.time() + args.total_timeout
+    errors: list[str] = []
+    state = {"hangs": 0}
+
     s2d = args.s2d
     if s2d is None and args.model.startswith("ACC_UNet"):
         s2d = 2
-    model = build(args.model, dtype, s2d_levels=s2d)
 
-    best = 0.0
-    best_bs = 0
-    # the serving relay in front of the chip has transient outages; retry
-    # each batch config (with a pause) rather than recording 0.0
-    queue = [(bs, 0) for bs in args.batches]
-    while queue:
-        bs, attempt = queue.pop(0)
-        try:
-            # Timing methodology for the serving relay in front of the chip:
-            #  * block_until_ready is acked before execution completes, and
-            #    per-execution dispatch carries large variable overhead, so
-            #    `steps` forwards are CHAINED INSIDE ONE JIT (each step's
-            #    input depends numerically on the previous step's output —
-            #    forced serialization, no value-cache reuse, no per-step
-            #    dispatch cost) and completion is forced by a 4-byte scalar
-            #    host readback.
-            x = jax.jit(
-                lambda k: jax.random.uniform(
-                    k, (bs, args.img, args.img, 3)
-                ).astype(dtype)
-            )(jax.random.PRNGKey(0))
-            variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x))()
+    def spec(kind, model, batch, steps, s2d_lv=None):
+        return {"kind": kind, "model": model, "img": args.img, "batch": batch,
+                "steps": max(steps, -(-1000 // batch)), "dtype": args.dtype,
+                "s2d": s2d_lv, "repeats": args.repeats}
 
-            # enough chained steps that the relay's ~30 ms round-trip is
-            # <3% of the measurement, even for small batches (fori_loop:
-            # one traced body regardless of step count)
-            steps = max(args.steps, -(-1000 // bs))
-
-            @jax.jit
-            def chained(v, x):
-                def body(_, carry):
-                    x, tot = carry
-                    out = model.apply(v, x + (1e-6 * tot).astype(x.dtype),
-                                      train=False)
-                    # strided sample: keeps the step serialized on the output
-                    # without paying a full-resolution reduce per step (a
-                    # (B,224,224,1) mean costs multiple ms on its own)
-                    probe = out[:, ::8, ::8].mean().astype(jnp.float32)
-                    return x, tot + probe
-
-                _, tot = jax.lax.fori_loop(0, steps, body, (x, jnp.float32(0)))
-                return tot
-
-            float(chained(variables, x))  # compile + warm
-            dt = float("inf")
-            for r in range(args.repeats):
-                xr = jax.jit(
-                    lambda k: jax.random.uniform(
-                        k, (bs, args.img, args.img, 3)
-                    ).astype(dtype)
-                )(jax.random.PRNGKey(r + 1))
-                t0 = time.perf_counter()
-                float(chained(variables, xr))
-                dt = min(dt, time.perf_counter() - t0)
-        except Exception as e:  # OOM at large batch, relay hiccup, ...
-            print(f"batch {bs} failed (attempt {attempt + 1}): {e}",
-                  file=sys.stderr)
-            msg = str(e)
-            transient = any(s in msg for s in
-                            ("UNAVAILABLE", "INTERNAL", "DEADLINE",
-                             "remote_compile", "Unavailable"))
-            if transient and attempt < 2:
-                time.sleep(30 * (attempt + 1))
-                queue.append((bs, attempt + 1))
-            continue
-        ips = bs * steps / dt
-        print(f"batch {bs}: {ips:.1f} img/s", file=sys.stderr)
-        if ips > best:
+    # headline: best over the requested batch sizes
+    best, best_bs = 0.0, 0
+    for bs in args.batches:
+        ips = _measure(spec("infer", args.model, bs, args.steps, s2d),
+                       deadline, args.attempt_timeout, errors, state)
+        if ips and ips > best:
             best, best_bs = ips, bs
-    print(
-        json.dumps(
-            {
-                "metric": f"{args.model} {args.img}x{args.img} bf16 inference throughput (batch {best_bs})",
-                "value": round(best, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(best / TARGET, 3),
-            }
-        )
-    )
+
+    extras = {}
+    if not args.no_extras:
+        # BASELINE config 1: ACC_UNet_Lite 1x3x224x224 binary inference
+        ips = _measure(spec("infer", "ACC_UNet_Lite", 8, 64, 2),
+                       deadline, args.attempt_timeout, errors, state)
+        if ips:
+            extras["ACC_UNet_Lite_infer_b8"] = round(ips, 1)
+        # BASELINE config 2: full ACC-UNet (16.77M) train step, BCE+Dice, b8
+        ips = _measure(spec("train", "ACC_UNet", 8, 16),
+                       deadline, args.attempt_timeout, errors, state)
+        if ips:
+            extras["ACC_UNet_train_b8"] = round(ips, 1)
+
+    result = {
+        "metric": (f"{args.model} {args.img}x{args.img} {args.dtype} "
+                   f"inference throughput (batch {best_bs})"),
+        "value": round(best, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(best / TARGET, 3),
+    }
+    if extras:
+        result["extras"] = extras
+    if errors:
+        result["error"] = "; ".join(errors)
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

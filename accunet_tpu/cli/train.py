@@ -109,7 +109,9 @@ def main(argv=None):
     from accunet_tpu.models import build as build_model
     from accunet_tpu.train import losses as L
     from accunet_tpu.train import metrics as M
-    from accunet_tpu.train.engine import fit, make_train_fns, restore_checkpoint
+    from accunet_tpu.train.engine import (
+        fit, list_checkpoints, make_train_fns, restore_checkpoint,
+    )
 
     import dataclasses
 
@@ -268,23 +270,45 @@ def main(argv=None):
         iou_fn=iou_fn,
         mesh=mesh,
     )
+    meta = None
     if args.resume == "auto":
-        # restart-resilience: pick up the newest checkpoint in ckpt_dir if
-        # one exists (fresh run otherwise) — lets a supervisor just relaunch
-        # the same command after a preemption/crash
-        ckpts = sorted(os.listdir(cfg.train.ckpt_dir)) if (
-            cfg.train.ckpt_dir and os.path.isdir(cfg.train.ckpt_dir)
-        ) else []
-        args.resume = (
-            os.path.join(cfg.train.ckpt_dir, ckpts[-1]) if ckpts else None
-        )
+        # restart-resilience: pick up the newest COMPLETED checkpoint in
+        # ckpt_dir if one exists (fresh run otherwise) — lets a supervisor
+        # just relaunch the same command after a preemption/crash. Candidates
+        # are filtered to the epoch_NNNN name pattern (an interrupted orbax
+        # save leaves epoch_NNNN.orbax-checkpoint-tmp-* which must never be
+        # picked) and a restore failure falls back to the next-newest.
+        candidates = list_checkpoints(cfg.train.ckpt_dir)
+        args.resume = None
+        for path in reversed(candidates):
+            try:
+                state, meta = restore_checkpoint(path, fns.state)
+            except Exception as e:  # corrupt/incomplete save
+                logging.warning("--resume auto: %s unrestorable (%s), "
+                                "trying next-newest", path, e)
+                continue
+            args.resume = path
+            fns = dataclasses.replace(fns, state=state)
+            break
         if args.resume is None:
             logging.info("--resume auto: no checkpoint found, fresh run")
-    if args.resume:
+    elif args.resume:
         state, meta = restore_checkpoint(args.resume, fns.state)
         fns = dataclasses.replace(fns, state=state)
-        logging.info("resumed from %s at epoch %s", args.resume, meta.get("epoch"))
+    if args.resume and meta is not None:
+        logging.info("resumed from %s at epoch %s (best dice %.4f @ epoch %s)",
+                     args.resume, meta.get("epoch"),
+                     meta.get("best_dice", -1.0), meta.get("best_epoch"))
 
+    resume_kw = {}
+    if meta is not None:
+        # reference resume semantics (train_model.py:672-689): continue the
+        # epoch numbering and keep best-dice / early-stop state
+        resume_kw = dict(
+            start_epoch=int(meta.get("epoch", 0)),
+            best_dice=float(meta.get("best_dice", -1.0)),
+            best_epoch=int(meta.get("best_epoch", meta.get("epoch", 0))),
+        )
     state, history = fit(
         fns,
         functools.partial(device_batches, train_loader, train_text),
@@ -293,6 +317,7 @@ def main(argv=None):
         ckpt_dir=cfg.train.ckpt_dir,
         early_stop_patience=cfg.train.early_stop_patience,
         check_numerics=args.check_numerics,
+        **resume_kw,
     )
     logging.info("done: best val dice %.4f",
                  max((h["val"].get("dice", 0) for h in history), default=0))

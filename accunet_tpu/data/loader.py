@@ -112,23 +112,41 @@ class PrefetchLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         err = []
+        # consumers routinely abandon iteration early (train.py peeks one val
+        # batch; --check-numerics aborts mid-epoch) — a bare q.put would then
+        # block the worker forever and pin depth+1 batches in memory, so every
+        # put polls this event and the generator's finally sets it
+        closed = threading.Event()
+
+        def _put(item) -> bool:
+            while not closed.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch in self.loader:
-                    q.put(batch)
+                    if not _put(batch):
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 err.append(e)
             finally:
-                q.put(self._END)
+                _put(self._END)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is self._END:
-                break
-            yield item
-        t.join()
-        if err:
-            raise err[0]
+        try:
+            while True:
+                item = q.get()
+                if item is self._END:
+                    break
+                yield item
+            t.join()
+            if err:
+                raise err[0]
+        finally:
+            closed.set()

@@ -51,18 +51,21 @@ def _convert_leaf(leaf_name: str, flax_shape, torch_val: np.ndarray) -> np.ndarr
     if leaf_name == "kernel_t":
         if v.ndim == 5:  # convT3d (I,O,kd,kh,kw) on unit-depth input -> 2D:
             v = v[:, :, v.shape[2] // 2]  # only the center depth tap sees data
-        return v.transpose(2, 3, 0, 1)  # convT (I,O,kh,kw) -> (kh,kw,I,O)
-    if leaf_name == "kernel":
+        v = v.transpose(2, 3, 0, 1)  # convT (I,O,kh,kw) -> (kh,kw,I,O)
+    elif leaf_name == "kernel":
         if v.ndim == 5:  # conv3d (O,I,kd,kh,kw) on unit-depth input -> 2D:
             # with 'same' depth padding only the center tap multiplies real
             # data (GSC's 3x3x3 convs; kd=1 stems keep slice 0 == center)
             v = v[:, :, v.shape[2] // 2]
         if v.ndim == 4:
-            return v.transpose(2, 3, 1, 0)  # conv OIHW -> HWIO
-        if v.ndim == 3:
-            return v.transpose(2, 1, 0)  # conv1d (O, I/g, K) -> (K, I/g, O)
-        if v.ndim == 2:
-            return v.T  # Linear (out,in) -> (in,out)
+            v = v.transpose(2, 3, 1, 0)  # conv OIHW -> HWIO
+        elif v.ndim == 3:
+            v = v.transpose(2, 1, 0)  # conv1d (O, I/g, K) -> (K, I/g, O)
+        elif v.ndim == 2:
+            v = v.T  # Linear (out,in) -> (in,out)
+    # the check runs on EVERY path (incl. after the transposes): callers like
+    # swin_load_from rely on ValueError for their load_state_dict(strict=False)
+    # shape filter — installing a mismatched weight would fail at apply time
     if v.shape != tuple(flax_shape):
         raise ValueError(
             f"shape mismatch for {leaf_name}: torch {v.shape} vs flax {tuple(flax_shape)}"

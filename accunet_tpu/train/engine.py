@@ -27,6 +27,7 @@ import functools
 import logging
 import math
 import os
+import re
 import time
 from typing import Any, Callable, Iterable
 
@@ -234,7 +235,11 @@ def run_epoch(step_fn, state, loader: Iterable, train: bool, shard_batch=None,
 # ------------------------------------------------------------- checkpointing
 
 
-def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int, best_dice: float):
+CKPT_NAME_RE = re.compile(r"epoch_(\d{4})")
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int,
+                    best_dice: float, best_epoch: int | None = None):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
@@ -243,12 +248,42 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int, best_dice: flo
         path,
         {
             "state": jax.tree_util.tree_map(lambda x: x, state),
-            "meta": {"epoch": epoch, "best_dice": best_dice},
+            "meta": {"epoch": epoch, "best_dice": best_dice,
+                     "best_epoch": epoch if best_epoch is None else best_epoch},
         },
         force=True,
     )
     ckptr.wait_until_finished()
     return path
+
+
+def prune_checkpoints(ckpt_dir: str, keep_epochs) -> None:
+    """Retention policy (the reference keeps a single rolling best file,
+    train_model.py:811-819; round 2 kept every improvement forever): keep
+    only `keep_epochs` (best + latest) and clear interrupted-save leftovers
+    (`*.orbax-checkpoint-tmp-*` dirs from a crash mid-save)."""
+    import shutil
+
+    keep = {int(e) for e in keep_epochs}
+    for name in os.listdir(ckpt_dir):
+        full = os.path.join(ckpt_dir, name)
+        m = CKPT_NAME_RE.fullmatch(name)
+        if (m and int(m.group(1)) not in keep) or (
+            ".orbax-checkpoint-tmp" in name
+        ):
+            shutil.rmtree(full, ignore_errors=True)
+
+
+def list_checkpoints(ckpt_dir: str):
+    """Completed checkpoints in `ckpt_dir`, oldest->newest. Filters to the
+    expected epoch_NNNN names so interrupted orbax saves
+    (epoch_NNNN.orbax-checkpoint-tmp-*, which sort AFTER their completed
+    sibling — exactly the preemption case --resume auto targets) are never
+    selected."""
+    if not ckpt_dir or not os.path.isdir(ckpt_dir):
+        return []
+    names = [n for n in os.listdir(ckpt_dir) if CKPT_NAME_RE.fullmatch(n)]
+    return [os.path.join(ckpt_dir, n) for n in sorted(names)]
 
 
 def restore_checkpoint(path: str, state_template: TrainState):
@@ -257,9 +292,15 @@ def restore_checkpoint(path: str, state_template: TrainState):
     ckptr = ocp.StandardCheckpointer()
     target = {
         "state": state_template,
-        "meta": {"epoch": 0, "best_dice": 0.0},
+        "meta": {"epoch": 0, "best_dice": 0.0, "best_epoch": 0},
     }
-    restored = ckptr.restore(os.path.abspath(path), target)
+    try:
+        restored = ckptr.restore(os.path.abspath(path), target)
+    except Exception:
+        # round-2 checkpoints carry no best_epoch in meta
+        target["meta"] = {"epoch": 0, "best_dice": 0.0}
+        restored = ckptr.restore(os.path.abspath(path), target)
+        restored["meta"]["best_epoch"] = restored["meta"]["epoch"]
     return restored["state"], restored["meta"]
 
 
@@ -273,10 +314,21 @@ def fit(
     log_every: bool = True,
     tensorboard_dir: str | None = None,
     check_numerics: bool = False,
+    start_epoch: int = 0,
+    best_dice: float = -1.0,
+    best_epoch: int = 0,
 ):
     """Epoch driver with best-dice checkpointing and early stopping
     (train_model.py:782-831). `tensorboard_dir` enables epoch-scalar logging
-    (Train_one_epoch.py:193-198 equivalent) when tensorboardX is present."""
+    (Train_one_epoch.py:193-198 equivalent) when tensorboardX is present.
+
+    Resume semantics match the reference (train_model.py:672-689): pass the
+    restored checkpoint's meta as `start_epoch`/`best_dice`/`best_epoch` and
+    training continues at epoch start_epoch+1 with the early-stop counter and
+    best-model tracking intact (a worse post-resume epoch never overwrites
+    best). Checkpoints: the latest epoch is always saved (preemption
+    resilience — the reference only saves improvements) and retention keeps
+    best + latest (prune_checkpoints)."""
     writer = None
     if tensorboard_dir:
         try:
@@ -286,9 +338,8 @@ def fit(
         except ImportError:
             logger.warning("tensorboardX unavailable; skipping TB logging")
     state = fns.state
-    best_dice, best_epoch = -1.0, 0
     history = []
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch + 1, epochs + 1):
         state, tr = run_epoch(
             fns.train_step, state, train_loader_factory(), True,
             fns.shard_batch, check_numerics=check_numerics,
@@ -310,9 +361,10 @@ def fit(
                         writer.add_scalar(f"{split}/{k}", stats[k], epoch)
         if va.get("dice", 0) > best_dice:
             best_dice, best_epoch = va["dice"], epoch
-            if ckpt_dir:
-                save_checkpoint(ckpt_dir, state, epoch, best_dice)
-        elif epoch - best_epoch >= early_stop_patience:
+        if ckpt_dir:
+            save_checkpoint(ckpt_dir, state, epoch, best_dice, best_epoch)
+            prune_checkpoints(ckpt_dir, {best_epoch, epoch})
+        if va.get("dice", 0) <= best_dice and epoch - best_epoch >= early_stop_patience:
             logger.info("early stopping at epoch %d (best %d)", epoch, best_epoch)
             break
     if writer is not None:

@@ -198,9 +198,16 @@ def multiclass_dice_ce(logits, targets, dice_weight=0.5, ce_weight=0.5,
     new capability: the training-side counterpart of the reference's
     multi-class eval argmax (test_model.py head semantics, ACC_UNet.py:654-658).
 
-    logits (B,H,W,K); targets (B,H,W) or (B,H,W,1) integer class ids."""
+    logits (B,H,W,K); targets (B,H,W) or (B,H,W,1) integer class ids.
+    Deep-supervision tuples get the same aux-head weighting as the binary
+    path's ds_adapter (the heads would otherwise be silently discarded when
+    training e.g. Segmamba *_ds variants with --n-classes>1)."""
     if isinstance(logits, (tuple, list)):
-        logits = logits[0]
+        base = functools.partial(
+            multiclass_dice_ce, dice_weight=dice_weight, ce_weight=ce_weight,
+            smooth=smooth,
+        )
+        return ds_adapter(logits, targets, base_loss=base)
     if targets.ndim == logits.ndim:
         targets = targets[..., 0]
     k = logits.shape[-1]

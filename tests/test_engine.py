@@ -106,6 +106,36 @@ def test_prefetch_loader_preserves_order_and_errors():
 
 
 @pytest.mark.quick
+def test_prefetch_loader_abandoned_consumer_releases_worker():
+    """train.py peeks one val batch (next(iter(loader))) and --check-numerics
+    can abort mid-epoch: the worker thread must exit instead of blocking
+    forever on a full queue."""
+    import threading
+    import time
+
+    from accunet_tpu.data.loader import PrefetchLoader
+
+    class Endless:
+        def __len__(self):
+            return 10**6
+
+        def __iter__(self):
+            i = 0
+            while True:
+                yield {"i": i}
+                i += 1
+
+    before = threading.active_count()
+    it = iter(PrefetchLoader(Endless(), depth=2))
+    assert next(it)["i"] == 0
+    it.close()  # GeneratorExit -> finally sets the closed event
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "prefetch worker leaked"
+
+
+@pytest.mark.quick
 def test_check_numerics_aborts_on_nan():
     import jax.numpy as jnp
 

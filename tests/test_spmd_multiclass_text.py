@@ -133,6 +133,13 @@ def test_swin_load_from_surgery():
             "patch_embed.proj.weight": rs.rand(24, 3, 4, 4).astype(np.float32),
             # shape-incompatible entry must be skipped, not crash
             "patch_embed.norm.weight": rs.rand(999).astype(np.float32),
+            # shape-incompatible 2D (Linear) weight: _convert_leaf transposes
+            # these, and before round 3 returned WITHOUT a shape check — a
+            # mismatched checkpoint weight slipped past the strict=False
+            # filter and exploded at apply time (ADVICE r2)
+            "layers.0.blocks.0.attn.proj.weight": rs.rand(7, 7).astype(
+                np.float32
+            ),
         }
     }
     filled = swin_load_from(template, pretrained)
@@ -147,8 +154,12 @@ def test_swin_load_from_surgery():
         filled["params"]["layers_up_3_blocks_0"]["attn"]["qkv"]["kernel"]
     )
     np.testing.assert_allclose(got_dec, want)
-    # incompatible entry kept its init
+    # incompatible entries kept their init (1D scale AND transposed 2D linear)
     np.testing.assert_allclose(
         np.asarray(filled["params"]["patch_embed_norm"]["scale"]),
         np.asarray(template["params"]["patch_embed_norm"]["scale"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(filled["params"]["layers_0_blocks_0"]["attn"]["proj"]["kernel"]),
+        np.asarray(template["params"]["layers_0_blocks_0"]["attn"]["proj"]["kernel"]),
     )

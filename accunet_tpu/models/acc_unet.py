@@ -39,6 +39,7 @@ class ConvTranspose2x2(nn.Module):
     out_features: int
     dtype: Any = jnp.float32
     to_frame: bool = False
+    use_bias: bool = True  # MONAI's UNETR transp_conv is bias-free
 
     @nn.compact
     def __call__(self, x):
@@ -48,7 +49,10 @@ class ConvTranspose2x2(nn.Module):
             (2, 2, self.in_features, self.out_features),
             jnp.float32,
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.out_features,), jnp.float32)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.out_features,), jnp.float32)
+            if self.use_bias else jnp.zeros((self.out_features,), jnp.float32)
+        )
         if self.to_frame:
             from accunet_tpu.ops import s2d
 

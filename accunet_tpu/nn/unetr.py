@@ -50,14 +50,16 @@ class UnetResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # all three convs are bias-free: MONAI's get_conv_layer defaults to
+        # bias=False (dynunet_block.py:279) and UnetResBlock doesn't override
         k = self.kernel_size
         out = nn.Conv(
             self.out_channels, (k, k), strides=(self.stride, self.stride),
-            padding="SAME", use_bias=True, dtype=self.dtype, name="conv1",
+            padding="SAME", use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
         out = lrelu(instance_norm(out))
         out = nn.Conv(
-            self.out_channels, (k, k), padding="SAME", use_bias=True,
+            self.out_channels, (k, k), padding="SAME", use_bias=False,
             dtype=self.dtype, name="conv2",
         )(out)
         out = instance_norm(out)
@@ -65,7 +67,7 @@ class UnetResBlock(nn.Module):
         if self.in_channels != self.out_channels or self.stride != 1:
             residual = nn.Conv(
                 self.out_channels, (1, 1), strides=(self.stride, self.stride),
-                use_bias=True, dtype=self.dtype, name="conv3",
+                use_bias=False, dtype=self.dtype, name="conv3",
             )(residual)
             residual = instance_norm(residual)
         return lrelu(out + residual)
@@ -95,7 +97,8 @@ class UnetrUpBlock(nn.Module):
     @nn.compact
     def __call__(self, x, skip):
         up = ConvTranspose2x2(
-            self.in_channels, self.out_channels, self.dtype, name="transp_conv"
+            self.in_channels, self.out_channels, self.dtype, use_bias=False,
+            name="transp_conv",
         )(x)
         out = jnp.concatenate([up, skip], axis=-1)
         return UnetResBlock(

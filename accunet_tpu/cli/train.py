@@ -98,6 +98,16 @@ def main(argv=None):
                     help="checkpoint path to resume, or 'auto' to pick up "
                          "the newest checkpoint in --ckpt-dir (restart "
                          "resilience; fresh run if none)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host SPMD: call jax.distributed.initialize() "
+                         "(coordinator/process env-configured per JAX docs) "
+                         "and shard the input pipeline per process — each "
+                         "host loads only its slice of every global batch")
+    ap.add_argument("--vis-dir", default=None,
+                    help="save input/gt/pred PNGs from the first val batch "
+                         "every --vis-frequency epochs "
+                         "(Train_one_epoch.py:139-144 analogue)")
+    ap.add_argument("--vis-frequency", type=int, default=10)
     ap.add_argument("--set", nargs="*", default=[], help="dotted config overrides")
     ap.add_argument("--ckpt-dir", default=None)
     args = ap.parse_args(argv)
@@ -171,6 +181,12 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     np.random.seed(cfg.train.seed)
 
+    proc_idx, proc_cnt = 0, 1
+    if args.distributed:
+        jax.distributed.initialize()  # env-configured (multi-slice DP, DCN)
+        proc_idx, proc_cnt = jax.process_index(), jax.process_count()
+        logging.info("distributed: process %d/%d", proc_idx, proc_cnt)
+
     mesh = parse_mesh(args.mesh)
     if mesh is not None:
         logging.info("SPMD mesh: %s", dict(mesh.shape))
@@ -189,9 +205,11 @@ def main(argv=None):
     train_loader = PrefetchLoader(BatchLoader(
         train_ds, cfg.data.batch_size, train_tf, shuffle=True,
         seed=cfg.train.seed, drop_last=True,
+        process_index=proc_idx, process_count=proc_cnt,
     ))
     val_loader = PrefetchLoader(
-        BatchLoader(val_ds, cfg.data.batch_size, val_tf, pad_last=True)
+        BatchLoader(val_ds, cfg.data.batch_size, val_tf, pad_last=True,
+                    process_index=proc_idx, process_count=proc_cnt)
     )
 
     # ---- text prompts (train_model.py:286-291; xlsx/csv per split dir) ----
@@ -317,6 +335,8 @@ def main(argv=None):
         ckpt_dir=cfg.train.ckpt_dir,
         early_stop_patience=cfg.train.early_stop_patience,
         check_numerics=args.check_numerics,
+        vis_dir=args.vis_dir,
+        vis_frequency=args.vis_frequency,
         **resume_kw,
     )
     logging.info("done: best val dice %.4f",

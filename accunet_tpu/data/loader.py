@@ -19,6 +19,14 @@ import numpy as np
 
 
 class BatchLoader:
+    """`batch_size` is always the GLOBAL batch. With
+    `process_count > 1` (multi-host SPMD, SURVEY §2.6/§5.8), every process
+    computes the same global shuffled order from the same (seed, epoch) and
+    yields only its contiguous `batch_size/process_count` slice of each
+    global batch — per-host pipelines feed per-host shards with no
+    cross-host coordination, and the global batch composition is identical
+    to the single-process run (deterministic by construction)."""
+
     def __init__(
         self,
         dataset,
@@ -29,7 +37,23 @@ class BatchLoader:
         drop_last: bool = False,
         pad_last: bool = False,
         mask_dtype=np.float32,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        if process_count > 1:
+            if batch_size % process_count:
+                raise ValueError(
+                    f"global batch {batch_size} not divisible by "
+                    f"process_count {process_count}"
+                )
+            if not (0 <= process_index < process_count):
+                raise ValueError(f"process_index {process_index} out of range")
+            if not (drop_last or pad_last):
+                raise ValueError(
+                    "multi-host sharding needs drop_last or pad_last "
+                    "(static per-host shapes; a ragged final global batch "
+                    "would split unevenly across processes)"
+                )
         self.ds = dataset
         self.batch_size = batch_size
         self.transform = transform
@@ -39,6 +63,8 @@ class BatchLoader:
         self.pad_last = pad_last
         self.epoch = 0
         self.mask_dtype = mask_dtype
+        self.process_index = process_index
+        self.process_count = process_count
 
     def __len__(self):
         n = len(self.ds)
@@ -61,6 +87,11 @@ class BatchLoader:
             true_count = len(idxs)
             if self.pad_last and true_count < bs:
                 idxs = np.concatenate([idxs, order[: bs - true_count]])
+            if self.process_count > 1:
+                per = bs // self.process_count
+                lo = self.process_index * per
+                idxs = idxs[lo : lo + per]
+                true_count = min(max(true_count - lo, 0), per)
             images, labels, names = [], [], []
             for i in idxs:
                 sample, fname = self.ds[int(i)]

@@ -59,6 +59,7 @@ class TrainStepFns:
     optimizer: optax.GradientTransformation
     mesh: Any = None
     shard_batch: Callable = lambda batch: batch  # identity when mesh is None
+    predict_step: Callable | None = None  # (state, batch) -> main output
 
 
 def _main_output(preds):
@@ -196,8 +197,18 @@ def make_train_fns(
             "iou": iou_fn(main, batch["mask"]),
         }
 
+    @jax.jit
+    def predict_step(state: TrainState, batch):
+        preds = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            *_model_args(batch),
+            train=False,
+        )
+        return _main_output(preds)
+
     return TrainStepFns(
-        train_step, eval_step, state, optimizer, mesh, shard_batch_fn
+        train_step, eval_step, state, optimizer, mesh, shard_batch_fn,
+        predict_step,
     )
 
 
@@ -317,6 +328,8 @@ def fit(
     start_epoch: int = 0,
     best_dice: float = -1.0,
     best_epoch: int = 0,
+    vis_dir: str | None = None,
+    vis_frequency: int = 10,
 ):
     """Epoch driver with best-dice checkpointing and early stopping
     (train_model.py:782-831). `tensorboard_dir` enables epoch-scalar logging
@@ -359,6 +372,23 @@ def fit(
                 for k in ("loss", "dice", "iou"):
                     if k in stats:
                         writer.add_scalar(f"{split}/{k}", stats[k], epoch)
+        if vis_dir and fns.predict_step is not None and epoch % vis_frequency == 0:
+            # reference saves val predictions every vis_frequency epochs
+            # (Train_one_epoch.py:139-144); first val batch, up to 4 triples
+            from accunet_tpu.eval.visualize import save_prediction_images
+
+            batch = next(iter(val_loader_factory()), None)
+            if batch is not None:
+                if fns.shard_batch is not None:
+                    batch = fns.shard_batch(batch)
+                preds = fns.predict_step(state, batch)
+                save_prediction_images(
+                    vis_dir, epoch,
+                    jax.device_get(batch["image"]),
+                    jax.device_get(batch["mask"]),
+                    jax.device_get(preds),
+                    names=batch.get("names"),
+                )
         if va.get("dice", 0) > best_dice:
             best_dice, best_epoch = va["dice"], epoch
         if ckpt_dir:

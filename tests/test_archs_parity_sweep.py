@@ -471,6 +471,7 @@ def test_medmamba_ss_conv_ssm_parity():
     _close(np.asarray(model.apply(var, xj, train=False)), want.numpy(), tol=3e-5)
 
 
+@pytest.mark.quick  # quick-tier representative of the CMRF-combo parity family
 def test_unext_cmrf_whole_model_parity():
     """Full UNext_CMRF forward vs the reference at 64^2 — upgrades the
     UNext_CMRF family base from structural to golden parity."""

@@ -179,6 +179,7 @@ def _assert_close(got, want, tol=1e-5):
     )
 
 
+@pytest.mark.quick  # quick-tier representative of the flagship-block parity family
 def test_token_mdta_parity(ref_mod):
     import torch
 

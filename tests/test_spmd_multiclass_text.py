@@ -24,6 +24,7 @@ def _make_dataset(root, n, hw=32, seed=0, n_classes=1):
         np.save(root / "masks" / f"s{i}.npy", msk)
 
 
+@pytest.mark.quick  # quick-tier representative of the SPMD e2e family
 def test_spmd_train_cli_uses_mesh(tmp_path):
     """cli/train --mesh data=4,model=2 runs a sharded train step end to end
     on the 8-virtual-device CPU mesh and the resulting params live on it."""

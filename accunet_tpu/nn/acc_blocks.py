@@ -325,13 +325,31 @@ class HANCBlock(nn.Module):
         e = self.n_filts * self.inv_fctr
         if self.layout == "s2d":
             return self._call_s2d(inp, train, e)
-        x = nn.Conv(e, (1, 1), dtype=self.dtype, name="conv1")(inp)
-        x = batch_norm(x, train, self.dtype, name="norm1")
-        x = lrelu(x)
+        if not train and self._hybrid_nhwc_ok(inp, e):
+            # ROOFLINE §6 hybrid: Pallas fuses the E-wide front half
+            # (expand+BN+lrelu+dwconv+BN+lrelu — XLA spends two full HBM
+            # round-trips of the interior there), the HANC mix + tail stay
+            # in XLA where the (B·H·W, E) matmuls have enough rows to fill
+            # the MXU (in-kernel per-tile mixes were fill/drain-bound at
+            # E=4352). Identical variable tree via the param mirrors.
+            from accunet_tpu.ops.pallas.expand_dw import expand_dw_nhwc
 
-        x = DepthwiseConv(e, 3, self.dtype, name="conv2")(x)
-        x = batch_norm(x, train, self.dtype, name="norm2")
-        x = lrelu(x)
+            k1, b1 = _ConvParams(1, 1, inp.shape[-1], e, name="conv1")()
+            s1, t1 = _BNParams(e, name="norm1")()
+            kd, bd = _DWConvParams(e, 3, name="conv2")()
+            s2_, t2 = _BNParams(e, name="norm2")()
+            x = expand_dw_nhwc(
+                inp, k1[0, 0], b1, kd[:, :, 0, :], bd, (s1, t1), (s2_, t2),
+                interpret=jax.devices()[0].platform != "tpu",
+            )
+        else:
+            x = nn.Conv(e, (1, 1), dtype=self.dtype, name="conv1")(inp)
+            x = batch_norm(x, train, self.dtype, name="norm1")
+            x = lrelu(x)
+
+            x = DepthwiseConv(e, 3, self.dtype, name="conv2")(x)
+            x = batch_norm(x, train, self.dtype, name="norm2")
+            x = lrelu(x)
 
         x = HANCLayer(self.n_filts, self.k, self.dtype, name="hnc")(x, train)
 
@@ -378,6 +396,23 @@ class HANCBlock(nn.Module):
         return ChannelSELayer(
             self.out_channels, self.dtype, layout="s2d", name="sqe"
         )(x, train)
+
+    def _hybrid_nhwc_ok(self, inp, e) -> bool:
+        import os
+
+        if self.fuse == "off" or os.environ.get("ACCUNET_HYBRID_EXPAND_DW", "1") == "0":
+            return False
+        if self.fuse != "force" and jax.devices()[0].platform != "tpu":
+            return False
+        min_e = int(os.environ.get("ACCUNET_HYBRID_E_MIN", "2048"))
+        if self.fuse != "force" and e < min_e:
+            return False  # only the inv_fctr=34 block is bytes-bound enough
+        if e % 128:
+            return False  # lane-aligned interiors only (cnv72: 4352 = 34*128)
+        from accunet_tpu.ops.pallas.expand_dw import pick_tile_nhwc
+
+        _, h, w, cin = inp.shape
+        return pick_tile_nhwc(h, w, e, cin) is not None
 
     def _fused_s2d_ok(self, inp, cin) -> bool:
         import os

@@ -52,17 +52,34 @@ from accunet_tpu.ops.s2d import _S2D_GEOM
 
 def _kernel(xa_ref, xb_ref, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
             affe_ref, affn_ref, affc_ref, *out_refs, cin, e, nf, cout, k, th,
-            hf, debug_phase="full"):
-    """One (th rows x full width) frame tile -> four finished position
-    blocks of the HANCBlock output (pre-SE)."""
+            hf, gb=1, debug_phase="full"):
+    """One (gb images x th rows x full width) frame tile -> four finished
+    position blocks of the HANCBlock output (pre-SE).
+
+    `gb` images are processed per program (unrolled loop): at small E the
+    per-row-tile work is tiny and the kernel is program-count-bound (E=96:
+    112 programs at b8/th=8 measured SLOWER than unfused XLA), so batching
+    images multiplies per-program work without touching the Mosaic-fragile
+    tile geometry."""
     hi = pl.program_id(1)
+    for im in range(gb):
+        _kernel_one(
+            xa_ref[im], xb_ref[im], w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
+            affe_ref, affn_ref, affc_ref, out_refs, im=im, hi=hi, cin=cin,
+            e=e, nf=nf, cout=cout, k=k, th=th, hf=hf, debug_phase=debug_phase,
+        )
+
+
+def _kernel_one(xa, xb, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
+                affe_ref, affn_ref, affc_ref, out_refs, *, im, hi, cin, e,
+                nf, cout, k, th, hf, debug_phase):
     # rows [hi*th, hi*th+th+2) of the row-padded frame == logical frame rows
     # hi*th-1 .. hi*th+th.  Staged as two th-row blocks of the SAME padded
     # array (xa = tile rows, xb = next tile, of which only the first 2 halo
     # rows are read) so VMEM holds 2*th rows instead of the whole image —
     # whole-image staging blew the 16M scoped-vmem limit inside the full
     # model (24.03M at the cnv91 shapes).
-    xt = jnp.concatenate([xa_ref[0], xb_ref[0, :2]], axis=0)
+    xt = jnp.concatenate([xa, xb[:2]], axis=0)
     wf = xt.shape[1]
     w1 = w1_ref[:]           # (cin, e)
     wd = wd_ref[:]           # (9, e)
@@ -99,7 +116,7 @@ def _kernel(xa_ref, xb_ref, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
 
     if debug_phase == "expand":
         for p in range(4):
-            out_refs[p][0] = qp[p][1:1 + th, 1:1 + wf, :cout]
+            out_refs[p][im] = qp[p][1:1 + th, 1:1 + wf, :cout]
         return
 
     # ---- depthwise 3x3 across positions + folded BN + lrelu ----
@@ -117,7 +134,7 @@ def _kernel(xa_ref, xb_ref, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
 
     if debug_phase == "dwconv":
         for p in range(4):
-            out_refs[p][0] = d[p][:, :, :cout]
+            out_refs[p][im] = d[p][:, :, :cout]
         return
 
     # ---- HANC: pyramid + paired branch mixes, telescoped coarsest-first.
@@ -187,7 +204,19 @@ def _kernel(xa_ref, xb_ref, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
             z.reshape(-1, nf), w3, (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
         ).astype(dt).reshape(th, wf, cout)
-        out_refs[p][0] = lrelu(t * s3 + t3)
+        out_refs[p][im] = lrelu(t * s3 + t3)
+
+
+def _vmem_estimate(th, wf, e, nf, cin, k, gb=1):
+    interior = 4 * (th + 2) * (wf + 2) * e * 2          # qp
+    interior += 4 * th * wf * e * 2                     # d
+    interior += int(2.7 * th * wf * e * 2)              # pyramid maps
+    io = 4 * th * wf * 4 * cin * 2 + 4 * 2 * th * wf * nf * 2
+    weights = (cin * e + 9 * e + (2 * k - 1) * e * nf + nf * nf) * 2
+    fp32 = 3 * th * wf * nf * 4
+    # io (input/output blocks hold all gb images) scales with gb; the
+    # unrolled per-image interiors are conservatively counted live too
+    return (interior + fp32) * gb + io * gb + weights
 
 
 def pick_tile(hf: int, k: int, wf: int | None = None, e: int | None = None,
@@ -203,16 +232,10 @@ def pick_tile(hf: int, k: int, wf: int | None = None, e: int | None = None,
             return True
         nf_ = nf or e
         cin_ = cin or nf_
-        interior = 4 * (th + 2) * (wf + 2) * e * 2          # qp
-        interior += 4 * th * wf * e * 2                     # d
-        interior += int(2.7 * th * wf * e * 2)              # pyramid maps
-        io = 4 * th * wf * 4 * cin_ * 2 + 4 * 2 * th * wf * nf_ * 2
-        weights = (cin_ * e + 9 * e + (2 * k - 1) * e * nf_ + nf_ * nf_) * 2
-        fp32 = 3 * th * wf * nf_ * 4
         # 16M matches the v5e scoped-vmem limit and the measured compile
         # boundary: cnv72 (E=4352) th=2 (est 14.6M) compiles, th=4 (20.5M)
         # does not
-        return interior + io + weights + fp32 < 16 * 2**20
+        return _vmem_estimate(th, wf, e, nf_, cin_, k) < 16 * 2**20
 
     for th in (8, 4, 2):
         if th % s == 0 and hf % th == 0 and fits(th):
@@ -220,8 +243,20 @@ def pick_tile(hf: int, k: int, wf: int | None = None, e: int | None = None,
     return None
 
 
+def pick_gb(b: int, th: int, wf: int, e: int, nf: int, cin: int, k: int) -> int:
+    """Images per program: the largest divisor of b whose conservative VMEM
+    estimate fits.  At small E the kernel is program-count-bound (ROOFLINE
+    §6: E=96 at b8/th=8 = 112 tiny programs measured slower than unfused
+    XLA), so batching images per program is the lever that scales per-program
+    work without touching the Mosaic-fragile tile geometry."""
+    for gb in (8, 4, 2):
+        if b % gb == 0 and _vmem_estimate(th, wf, e, nf, cin, k, gb) < 16 * 2**20:
+            return gb
+    return 1
+
+
 def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
-                     interpret=False, th=None, pad_e=True,
+                     interpret=False, th=None, gb=None, pad_e=True,
                      debug_phase="full"):
     """Fused HANCBlock forward (pre-SE) on a frame map.
 
@@ -239,6 +274,13 @@ def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
     if th is None:
         th = pick_tile(hf, k, wf, e, nf, cin)
     assert th is not None and hf % th == 0
+    if gb is None:
+        import os
+
+        gb = int(os.environ.get("ACCUNET_FUSED_HANC_GB", "0")) or pick_gb(
+            b, th, wf, e, nf, cin, k
+        )
+    assert b % gb == 0
 
     def fold(pair, bias):
         s, t = pair
@@ -288,18 +330,18 @@ def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
     else:
         whpk = jnp.zeros((1, 2, nf), dt)
 
-    grid = (b, hf // th)
+    grid = (b // gb, hf // th)
     outs = pl.pallas_call(
         functools.partial(_kernel, cin=cin, e=e, nf=nf, cout=cout, k=k,
-                          th=th, hf=hf, debug_phase=debug_phase),
+                          th=th, hf=hf, gb=gb, debug_phase=debug_phase),
         grid=grid,
         in_specs=[
             # row-padded input, staged twice: the tile's th rows and the next
             # block (first 2 rows = bottom halo; the hi+1 == Hf/th block runs
             # past the array end — Pallas pads, and only its in-range first
             # two rows are read)
-            pl.BlockSpec((1, th, wf, 4 * cin), lambda bi, hi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, th, wf, 4 * cin), lambda bi, hi: (bi, hi + 1, 0, 0)),
+            pl.BlockSpec((gb, th, wf, 4 * cin), lambda bi, hi: (bi, hi, 0, 0)),
+            pl.BlockSpec((gb, th, wf, 4 * cin), lambda bi, hi: (bi, hi + 1, 0, 0)),
             pl.BlockSpec((cin, e), lambda bi, hi: (0, 0)),
             pl.BlockSpec((9, e), lambda bi, hi: (0, 0)),
             pl.BlockSpec(wh0k.shape, lambda bi, hi: (0, 0)),
@@ -310,7 +352,7 @@ def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
             pl.BlockSpec((2, cout), lambda bi, hi: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, th, wf, cout), lambda bi, hi: (bi, hi, 0, 0))
+            pl.BlockSpec((gb, th, wf, cout), lambda bi, hi: (bi, hi, 0, 0))
             for _ in range(4)
         ],
         out_shape=[jax.ShapeDtypeStruct((b, hf, wf, cout), dt) for _ in range(4)],

@@ -88,3 +88,38 @@ def test_fused_identical_tree():
     pf = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), vf)
     assert jax.tree_util.tree_structure(pu) == jax.tree_util.tree_structure(pf)
     assert jax.tree_util.tree_leaves(pu) == jax.tree_util.tree_leaves(pf)
+
+
+def test_gb_image_batching_matches_gb1():
+    """Multiple images per program (pick_gb / ACCUNET_FUSED_HANC_GB) is a
+    pure grid re-shaping: outputs must be identical to gb=1."""
+    from accunet_tpu.ops.pallas.hanc_block import hanc_block_frame
+
+    k, cin, inv, cout, b = 3, 8, 3, 12, 4
+    e = cin * inv
+    key = jax.random.PRNGKey(5)
+    ks = jax.random.split(key, 12)
+    x = jax.random.normal(ks[0], (b, 16, 16, cin), jnp.float32)
+    xf = s2d.pack(x)
+    w1 = jax.random.normal(ks[1], (cin, e)) * 0.3
+    b1 = jax.random.normal(ks[2], (e,)) * 0.1
+    wd = jax.random.normal(ks[3], (3, 3, e)) * 0.3
+    bd = jax.random.normal(ks[4], (e,)) * 0.1
+    wh = jax.random.normal(ks[5], (e, 2 * k - 1, cin)) * 0.1
+    bh = jax.random.normal(ks[6], (cin,)) * 0.1
+    w3 = jax.random.normal(ks[7], (cin, cout)) * 0.3
+    b3 = jax.random.normal(ks[8], (cout,)) * 0.1
+    bns = {
+        nm: (1.0 + 0.1 * jax.random.normal(kk, (dim,)),
+             0.1 * jax.random.normal(kk, (dim,)))
+        for nm, dim, kk in [
+            ("norm1", e, ks[9]), ("norm2", e, ks[10]), ("hnc", cin, ks[11]),
+            ("norm", cin, ks[9]), ("norm3", cout, ks[10]),
+        ]
+    }
+    args = (xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k)
+    y1 = hanc_block_frame(*args, interpret=True, gb=1)
+    for gb in (2, 4):
+        yg = hanc_block_frame(*args, interpret=True, gb=gb)
+        np.testing.assert_allclose(np.asarray(yg), np.asarray(y1),
+                                   atol=1e-6, rtol=1e-6)

@@ -400,7 +400,14 @@ class HANCBlock(nn.Module):
     def _hybrid_nhwc_ok(self, inp, e) -> bool:
         import os
 
-        if self.fuse == "off" or os.environ.get("ACCUNET_HYBRID_EXPAND_DW", "1") == "0":
+        if self.fuse == "off":
+            return False
+        # opt-in until the TPU A/B lands (Mosaic compile risk is opaque
+        # through the relay — HTTP 500 with no message); fuse='force' (tests)
+        # bypasses the env gate
+        if self.fuse != "force" and os.environ.get(
+            "ACCUNET_HYBRID_EXPAND_DW", "0"
+        ) == "0":
             return False
         if self.fuse != "force" and jax.devices()[0].platform != "tpu":
             return False

@@ -277,9 +277,12 @@ def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
     if gb is None:
         import os
 
-        gb = int(os.environ.get("ACCUNET_FUSED_HANC_GB", "0")) or pick_gb(
-            b, th, wf, e, nf, cin, k
-        )
+        # default 1 (round-2 behavior) until the TPU A/B lands; "auto" =
+        # pick_gb; an integer forces that batch factor
+        env = os.environ.get("ACCUNET_FUSED_HANC_GB", "1")
+        gb = pick_gb(b, th, wf, e, nf, cin, k) if env == "auto" else int(env)
+        if b % gb:
+            gb = 1
     assert b % gb == 0
 
     def fold(pair, bias):

@@ -472,17 +472,52 @@ class HANCBlock(nn.Module):
         )(y, train)
 
 
+class _SEParams(nn.Module):
+    """Parameter mirror of ChannelSELayer (fc1/fc2 Dense + bn BatchNorm,
+    same names/shapes/inits) for fused kernels: returns the gate MLP weights
+    and the folded BN affine."""
+
+    num_channels: int
+
+    @nn.compact
+    def __call__(self):
+        c = self.num_channels
+        fc1 = _DenseParams(c, c // 8, name="fc1")()
+        fc2 = _DenseParams(c // 8, c, name="fc2")()
+        s, t = _BNParams(c, name="bn")()
+        return fc1, fc2, s, t
+
+
+class _DenseParams(nn.Module):
+    """Parameter mirror of nn.Dense (kernel (in, out), bias)."""
+
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.din, self.dout),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.dout,), jnp.float32)
+        return kernel, bias
+
+
 class ResPath(nn.Module):
     in_chnls: int
     n_lvl: int
     dtype: Dtype = jnp.float32
     layout: str = "nhwc"
+    fuse: str = "auto"  # 'auto' | 'force' | 'off' — fused level kernel (s2d)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         s2d_mode = self.layout == "s2d"
         if s2d_mode:
             from accunet_tpu.ops import s2d
+        if s2d_mode and not train and self._fused_ok(x):
+            return self._call_s2d_fused(x, train)
         bn = batch_norm_frame if s2d_mode else batch_norm
         for i in range(self.n_lvl):
             if s2d_mode:
@@ -505,6 +540,70 @@ class ResPath(nn.Module):
         # reference's final "sqe" is actually a second BatchNorm
         # (ACC_UNet/ACC_UNet.py:313)
         return bn(x, train, self.dtype, name="sqe")
+
+    def _fused_ok(self, x) -> bool:
+        import os
+
+        if self.fuse == "off":
+            return False
+        # opt-in until the TPU A/B lands (same policy as the hybrid
+        # HANCBlock front half)
+        if self.fuse != "force" and os.environ.get(
+            "ACCUNET_FUSED_RESPATH", "0"
+        ) == "0":
+            return False
+        if self.fuse != "force" and jax.devices()[0].platform != "tpu":
+            return False
+        c4 = x.shape[-1]
+        if c4 % 128 or self.in_chnls % 8:
+            return False  # aligned frame lanes; SE hidden dim C//8 >= 1
+        return x.shape[1] % 2 == 0
+
+    def _call_s2d_fused(self, x, train):
+        """Fused level kernels (ops/pallas/respath.py): one pass per level
+        instead of conv + SE-reduce + gate-apply + BN round-trips. Identical
+        variable tree via the param mirrors; SE gate MLPs run in XLA off the
+        kernel's channel sums."""
+        from accunet_tpu.ops import s2d
+        from accunet_tpu.ops.pallas.respath import respath_level_frame
+
+        interpret = jax.devices()[0].platform != "tpu"
+        b, hf, wf, c4 = x.shape
+        c = self.in_chnls
+        dt = x.dtype
+
+        def tile4(v):
+            return jnp.tile(v.astype(jnp.float32), 4)
+
+        y_prev = gate_f = aff_se = None
+        for i in range(self.n_lvl):
+            kc, bc = _ConvParams(3, 3, c, c, name=f"convs_{i}")()
+            s_bn, t_bn = _BNParams(c, name=f"bns_{i}")()
+            (f1k, f1b), (f2k, f2b), s_se, t_se = _SEParams(
+                c, name=f"sqes_{i}"
+            )()
+            wp = s2d.pack_conv3x3_kernel(kc)
+            aff_bn = (tile4(s_bn), tile4(t_bn + bc * s_bn))
+            y, x, sums = respath_level_frame(
+                x, wp, aff_bn, y_prev, gate_f, aff_se, interpret=interpret,
+            )
+            # SE gate for THIS level from the kernel's channel sums
+            m = sums.sum(axis=1).reshape(b, 4, c).sum(axis=1) / (4 * hf * wf)
+            h = lrelu(m.astype(dt) @ f1k.astype(dt) + f1b.astype(dt))
+            g = jax.nn.sigmoid(h @ f2k.astype(dt) + f2b.astype(dt))
+            gate_f = jnp.tile(g, (1, 4))
+            aff_se = (tile4(s_se), tile4(t_se))
+            y_prev = y
+
+        # last level's SE apply + residual, then the two trailing BNs (XLA,
+        # one fused elementwise chain)
+        se = lrelu(
+            (y_prev * gate_f[:, None, None, :]).astype(dt)
+            * aff_se[0].astype(dt) + aff_se[1].astype(dt)
+        )
+        x = x + se
+        x = lrelu(batch_norm_frame(x, train, self.dtype, name="bn"))
+        return batch_norm_frame(x, train, self.dtype, name="sqe")
 
 
 class _MLFCFusedConv(nn.Module):

@@ -58,9 +58,11 @@ def main():
         ("E96 fused gb=auto", {"ACCUNET_FUSED_HANC_MIN_E": "96",
                                "ACCUNET_FUSED_HANC_GB": "auto"}, {}),
         ("hybrid cnv72", {"ACCUNET_HYBRID_EXPAND_DW": "1"}, {}),
-        ("hybrid + gb=auto + E96", {"ACCUNET_HYBRID_EXPAND_DW": "1",
-                                    "ACCUNET_FUSED_HANC_GB": "auto",
-                                    "ACCUNET_FUSED_HANC_MIN_E": "96"}, {}),
+        ("fused respath", {"ACCUNET_FUSED_RESPATH": "1"}, {}),
+        ("ALL levers", {"ACCUNET_HYBRID_EXPAND_DW": "1",
+                        "ACCUNET_FUSED_HANC_GB": "auto",
+                        "ACCUNET_FUSED_HANC_MIN_E": "96",
+                        "ACCUNET_FUSED_RESPATH": "1"}, {}),
     ]
     if not args.quick:
         configs += [

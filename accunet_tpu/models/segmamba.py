@@ -249,6 +249,10 @@ class TransformerMambaBlock(nn.Module):
     mixer_type: str = "mamba"    # 'mamba' | 'ss2d'
     spatial_fusion: bool = False
     flip_order: bool = False
+    # the earliest rung (segmamba_hybrid.py:677-729) omits the two inner
+    # f-KAN residuals (`u = u + t`, `n = n + m`) that every later rung has
+    # (…_gsc.py TMB forward); whole-model parity sweep caught the difference
+    inner_residuals: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -277,7 +281,8 @@ class TransformerMambaBlock(nn.Module):
         def attn_half(t):
             """ln1 → attn → res; ln2 → ffn1 → res (transformer half)."""
             a = attn(ln("ln1")(t)) + t
-            return ffn1(ln("ln2")(a), train) + a
+            u = ffn1(ln("ln2")(a), train)
+            return u + a if self.inner_residuals else u
 
         def mamba_half(t):
             """ln3 → mixer → res; then ffn2 ('cab' replaces ln4+ffn2 with a
@@ -288,7 +293,8 @@ class TransformerMambaBlock(nn.Module):
                 cab = CAB(c, dtype=dt, name="cab")(m2d).reshape(b, h * w, c)
                 return cab + m
             ffn2 = _make_ffn(self.ffn2_type, c, mlp_dim, dt, "ffn2")
-            return ffn2(ln("ln4")(m), train) + m
+            n = ffn2(ln("ln4")(m), train)
+            return n + m if self.inner_residuals else n
 
         if self.flip_order:
             # _flip variant: mamba half first, then the attention half —
@@ -403,6 +409,11 @@ class SegMamba(nn.Module):
     stage_mlp: bool = False
     # None | 'hslca' | 'tgdc' | 'film' | 'crossattn' | 'dual'
     text_fusion: str | None = "hslca"
+    # whether the bottleneck is fused too; None = family default (hslca and
+    # dual fuse hidden, film/crossattn/tgdc do not). The Dual_SpatialMamba
+    # rung ships its dual_ca_hidden commented out (…_Dual_SpatialMamba.py:
+    # 1326,1500) while plain _Dual fuses it (…_Dual.py:1397,1548).
+    text_fusion_hidden: bool | None = None
     deep_supervision: bool = True
     final_refine: str | None = "fkan"  # None | 'fkan' | 'simple_mlp'
     ds_in_output: bool = False  # True only where the reference returns the tuple
@@ -429,8 +440,12 @@ class SegMamba(nn.Module):
             tf = self.text_fusion
             if tf is None or text is None:
                 return feat
-            if tf in ("film", "crossattn", "tgdc") and is_hidden:
-                return feat
+            if is_hidden:
+                fuse_hidden = self.text_fusion_hidden
+                if fuse_hidden is None:
+                    fuse_hidden = tf in ("hslca", "dual")
+                if not fuse_hidden:
+                    return feat
             cdim = feat.shape[-1]
             if tf == "hslca":
                 return HSLCAFusion(cdim, dtype=dt, name=f"hslca{idx_name}")(feat, text)
@@ -517,7 +532,9 @@ VARIANTS = {
     # ablation rungs) -> constructor kwargs. ds_in_output mirrors each
     # reference file's actual return statement.
     "Segmamba": dict(block="plain", use_gsc=False, stage_mlp=True, **_NO_EXTRAS),
-    "Segmamba_hybrid": dict(block="tmb", use_gsc=False, **_NO_EXTRAS),
+    "Segmamba_hybrid": dict(
+        block="tmb", use_gsc=False,
+        block_kwargs=dict(inner_residuals=False), **_NO_EXTRAS),
     "Segmamba_hybrid_gsc": dict(block="tmb", **_NO_EXTRAS),
     "Segmamba_hybrid_gsc_CA": dict(
         block="tmb", block_kwargs=dict(ffn2_type="cab"), **_NO_EXTRAS),
@@ -562,7 +579,8 @@ VARIANTS = {
     "Segmamba_hybrid_gsc_KAN_PE_ds_CrossAttn_SpatialMamba": dict(
         block="spatial", text_fusion="crossattn", ds_in_output=True),
     "Segmamba_hybrid_gsc_KAN_PE_ds_CrossAttn_Dual_SpatialMamba": dict(
-        block="spatial", text_fusion="dual", ds_in_output=True),
+        block="spatial", text_fusion="dual", text_fusion_hidden=False,
+        ds_in_output=True),
     "Segmamba_hybrid_gsc_KAN_PE_ds_CrossAttn_HSLCA_SpatialMamba": dict(
         block="spatial", text_fusion="hslca"),
     "Segmamba_hybrid_gsc_KAN_PE_ds_CrossAttn_HSLCA_SpatialMamba_KAN": dict(

@@ -72,11 +72,28 @@ def _assembly_rename(n: str, stage_wrap: bool = True) -> str:
         # SpatialMambaSliceBlock wraps the block (flagship :895-925); the tmb
         # rungs put TransformerMambaBlock directly in the stage Sequential
         n = re.sub(r"^vit\.stages\.(\d)\.(\d)\.", r"vit.stages.\1.\2.block.", n)
+    # CA rung: CAB3D stores its convs in a Sequential `cab` and the channel
+    # attention in `attention` (…_gsc_CA.py:390-460)
+    n = re.sub(r"\.cab\.conv1\.(weight|bias)$", r".cab.cab.0.\1", n)
+    n = re.sub(r"\.cab\.conv2\.(weight|bias)$", r".cab.cab.2.\1", n)
+    n = re.sub(r"\.cab\.ca\.squeeze\.(weight|bias)$",
+               r".cab.cab.3.attention.1.\1", n)
+    n = re.sub(r"\.cab\.ca\.expand\.(weight|bias)$",
+               r".cab.cab.3.attention.3.\1", n)
+    # VSS rung: TokenVSSM wraps a VSSMBlock level (…_gsc_vss.py:593-720)
+    n = re.sub(r"\.vssm\.(top_|bottom_|out_linear)", r".vssm.vssm_block.\1", n)
+    # SPATIAL rung: the mixer's fusion attr is `spatial_fusion`
+    # (…_ds_SPATIAL.py:243)
+    n = n.replace(".spatial_fusion_mod.", ".spatial_fusion.")
     # MONAI get_conv_layer returns a Convolution wrapper Sequential: the
-    # torch key nests one more '.conv' (dynunet_block.py get_conv_layer)
-    n = re.sub(r"\.(conv1|conv2|conv3|transp_conv)\.(weight|bias)$",
-               r".\1.conv.\2", n)
-    n = re.sub(r"^(out|ds_head\d)\.conv\.(weight|bias)$", r"\1.conv.conv.\2", n)
+    # torch key nests one more '.conv' (dynunet_block.py get_conv_layer).
+    # Scoped to the UNETR modules — other blocks (e.g. CAB) have their own
+    # conv1/conv2 that must NOT be rewritten.
+    if re.match(r"^(encoder\d|decoder\d|out|ds_head\d)\.", n):
+        n = re.sub(r"\.(conv1|conv2|conv3|transp_conv)\.(weight|bias)$",
+                   r".\1.conv.\2", n)
+        n = re.sub(r"^(out|ds_head\d)\.conv\.(weight|bias)$",
+                   r"\1.conv.conv.\2", n)
     return n
 
 

@@ -48,11 +48,21 @@ def _loop_selective_scan(u, delta, A, B, C, D=None, z=None, delta_bias=None,
     ys = []
     uf, df, Af = u.float(), delta.float(), A.float()
     Bf, Cf = B.float(), C.float()
+    # grouped ("variable") B/C: (b, G, n, l) with D/G channels per group
+    # (mamba_ssm selective_scan_fn semantics; SS2D passes G=1 4-D B/C)
+    if Bf.dim() == 4:
+        Bf = Bf.repeat_interleave(d // Bf.shape[1], dim=1)  # (b, d, n, l)
+    if Cf.dim() == 4:
+        Cf = Cf.repeat_interleave(d // Cf.shape[1], dim=1)
     for t in range(l):
+        bt = Bf[:, :, :, t] if Bf.dim() == 4 else Bf[:, None, :, t]
         h = torch.exp(df[:, :, t, None] * Af[None]) * h + (
-            df[:, :, t, None] * Bf[:, None, :, t] * uf[:, :, t, None]
+            df[:, :, t, None] * bt * uf[:, :, t, None]
         )
-        ys.append(torch.einsum("bdn,bn->bd", h, Cf[:, :, t]))
+        if Cf.dim() == 4:
+            ys.append(torch.einsum("bdn,bdn->bd", h, Cf[:, :, :, t]))
+        else:
+            ys.append(torch.einsum("bdn,bn->bd", h, Cf[:, :, t]))
     y = torch.stack(ys, dim=-1)
     if D is not None:
         y = y + D.float()[None, :, None] * uf

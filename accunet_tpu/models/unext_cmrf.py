@@ -288,7 +288,11 @@ VARIANTS = {
     "UNext_CMRF_BS": dict(encoder="cmrf_bs"),
     "UNext_CMRF_BSRB": dict(encoder="cmrf_bsrb"),
     "UNext_CMRF_dense_skip": dict(encoder="cmrf", skip="dense"),
-    "UNext_CMRF_PP": dict(encoder="cmrf", skip="dense"),  # nested UNet++ skips
+    # the shipped UNext_CMRF_PP class's forward is IDENTICAL to plain
+    # UNext_CMRF (archs/UNext_CMRF_PP.py:225-390 — the "Dense Skip paths"
+    # print is vestigial; the actual UNet++ decoder lives in the separate,
+    # never-constructed UNext_CMRF_PP_UNetPP class :392-540)
+    "UNext_CMRF_PP": dict(encoder="cmrf"),
     "UNext_CMRF_hd": dict(encoder="cmrf"),  # pairs with hausdorff loss
     "UNext_CMRF_GS_Wavelet_hd": dict(encoder="cmrf", skip="gs", pool="wavelet"),
     # combo names from the train_model.py factory (:420-453); the encoder

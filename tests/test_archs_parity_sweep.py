@@ -614,6 +614,22 @@ def test_medmamba_vssm_whole_model_parity():
         ("UNext_CMRF_dense_skip", "UNext_CMRF_Dense_Skip", "UNext_CMRF_dense_skip"),
         ("UNext_CMRF_enc_dec", "UNext_CMRF_enc_dec", "UNext_CMRF_enc_dec"),
         ("UNext_CMRF_enc_MLFC", "UNext_CMRF_enc_MLFC", "UNext_CMRF_enc_MLFC"),
+        # round-3 completion: the remaining combos with reference files
+        ("UNext_CMRF_enc_CSSE", "UNext_CMRF_enc_CSSE", "UNext_CMRF_enc_CSSE"),
+        ("UNext_CMRF_GS", "UNext_CMRF_GS", "UNext_CMRF_GS"),
+        ("UNext_CMRF_GAB", "UNext_CMRF_GAB", "UNext_CMRF_GAB"),
+        ("UNext_CMRF_PP", "UNext_CMRF_PP", "UNext_CMRF_PP"),
+        ("UNext_CMRF_BSRB_GS", "UNext_CMRF_BSRB_GS", "UNext_CMRF_BSRB_GS"),
+        # UNext_CMRF_BS_GS_wavelet is NOT here: the reference's CMRF_BS
+        # block is shipped broken (references a nonexistent attribute 'm',
+        # archs/BSDN.py CMRF_BS) so the torch side cannot run — structural
+        # coverage is the ceiling (see COVERAGE.md BSDN row)
+        ("UNext_CMRF_GS_wavelet_OD", "UNext_CMRF_GS_Wavelet_OD",
+         "UNext_CMRF_GS_Wavelet_OD"),
+        ("UNext_CMRF_GAB_wavelet_OD", "UNext_CMRF_GAB_Wavelet_OD",
+         "UNext_CMRF_GAB_wavelet_OD"),
+        ("UNext_CMRF_GS_wavelet_hd", "UNext_CMRF_GS_Wavelet_hd",
+         "UNext_CMRF_GS_Wavelet_hd"),
     ],
 )
 def test_unext_cmrf_combo_whole_model_parity(ref_file, ref_cls, our_name):
@@ -640,6 +656,8 @@ def test_unext_cmrf_combo_whole_model_parity(ref_file, ref_cls, our_name):
     def rename(n):
         import re as _re
 
+        # enc_CSSE names its ChannelSpatialSELayers se1..se4
+        n = _re.sub(r"^csse(\d)\.", r"se\1.", n)
         # EGE GAB internals live under GABn. prefixes in these models
         n = _re.sub(r"g(\d)_ln\.", r"g\1.0.", n)
         n = _re.sub(r"g(\d)_conv\.", r"g\1.1.", n)

@@ -75,7 +75,8 @@ CASES = {
 
 
 def _run_case(key, ref_name, needs_text, real_monai_blocks, monkeypatch,
-              atol=5e-5, feat_size=(48, 16, 24, 32), pooled_text=False):
+              atol=5e-5, feat_size=(48, 16, 24, 32), pooled_text=False,
+              img=32):
     import torch
 
     from accunet_tpu.models.segmamba import VARIANTS, build_segmamba
@@ -113,7 +114,7 @@ def _run_case(key, ref_name, needs_text, real_monai_blocks, monkeypatch,
                     lambda m, i, o, nm=nm: captured.__setitem__(nm, o)
                 )
 
-    x = np.random.RandomState(23).rand(1, 3, 32, 32).astype(np.float32) - 0.5
+    x = np.random.RandomState(23).rand(1, 3, img, img).astype(np.float32) - 0.5
     with torch.no_grad():
         args = (torch.from_numpy(x), ["prompt"]) if needs_text \
             else (torch.from_numpy(x),)
@@ -188,3 +189,11 @@ def test_family_whole_model_parity(key, real_monai, ref_mod, monkeypatch):
     if key.endswith("_ds_text"):
         kw["pooled_text"] = True
     _run_case(key, ref_name, needs_text, real_monai, monkeypatch, **kw)
+
+
+def test_swattn_whole_model_parity(real_monai, ref_mod, monkeypatch):
+    """The SWAttn rung hardcodes window_size=7 with divisibility asserts
+    (…_gsc_SWAttn.py:545,581), so it runs at img 112 (stages 56/28/14/7 are
+    all multiples of 7) — the only rung needing a non-32 input."""
+    _run_case("Segmamba_hybrid_gsc_SWAttn", "nets.segmamba_hybrid_gsc_SWAttn",
+              False, real_monai, monkeypatch, img=112)

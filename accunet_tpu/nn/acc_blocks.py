@@ -26,6 +26,8 @@ from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
+
+from accunet_tpu.ops.platform import on_tpu
 from flax import linen as nn
 
 from accunet_tpu.ops.pooling import (
@@ -340,7 +342,7 @@ class HANCBlock(nn.Module):
             s2_, t2 = _BNParams(e, name="norm2")()
             x = expand_dw_nhwc(
                 inp, k1[0, 0], b1, kd[:, :, 0, :], bd, (s1, t1), (s2_, t2),
-                interpret=jax.devices()[0].platform != "tpu",
+                interpret=not on_tpu(),
             )
         else:
             x = nn.Conv(e, (1, 1), dtype=self.dtype, name="conv1")(inp)
@@ -409,7 +411,7 @@ class HANCBlock(nn.Module):
             "ACCUNET_HYBRID_EXPAND_DW", "0"
         ) == "0":
             return False
-        if self.fuse != "force" and jax.devices()[0].platform != "tpu":
+        if self.fuse != "force" and not on_tpu():
             return False
         min_e = int(os.environ.get("ACCUNET_HYBRID_E_MIN", "2048"))
         if self.fuse != "force" and e < min_e:
@@ -426,14 +428,16 @@ class HANCBlock(nn.Module):
 
         if self.fuse == "off" or os.environ.get("ACCUNET_FUSED_HANC", "1") == "0":
             return False
-        if self.fuse != "force" and jax.devices()[0].platform != "tpu":
+        if self.fuse != "force" and not on_tpu():
             return False
         if self.n_filts != cin or self.k > 3:
             return False  # residual needs nf == cin; kernel supports k<=3
-        min_e = int(os.environ.get("ACCUNET_FUSED_HANC_MIN_E", "128"))
+        min_e = int(os.environ.get("ACCUNET_FUSED_HANC_MIN_E", "96"))
         if self.fuse != "force" and self.n_filts * self.inv_fctr < min_e:
-            return False  # measured b8: E96 fused 1.65 vs 1.48 ms unfused; E192 wins 1.77x
-            # (but the unfused E96 path scales badly with batch — see ROOFLINE)
+            return False  # default 96: measured whole-model A/B on v5e
+            # (ROOFLINE §10): minE=96 463.3 vs minE=128 391.4 img/s b8 —
+            # the unfused E96 XLA path scales worse with batch than the
+            # fused kernel's program-count overhead
         from accunet_tpu.ops.pallas.hanc_block import pick_tile
 
         _, hf, wf, _ = inp.shape
@@ -465,7 +469,7 @@ class HANCBlock(nn.Module):
                 "norm3": (s3, t3),
             },
             self.k,
-            interpret=jax.devices()[0].platform != "tpu",
+            interpret=not on_tpu(),
         )
         return ChannelSELayer(
             self.out_channels, self.dtype, layout="s2d", name="sqe"
@@ -552,7 +556,7 @@ class ResPath(nn.Module):
             "ACCUNET_FUSED_RESPATH", "0"
         ) == "0":
             return False
-        if self.fuse != "force" and jax.devices()[0].platform != "tpu":
+        if self.fuse != "force" and not on_tpu():
             return False
         c4 = x.shape[-1]
         if c4 % 128 or self.in_chnls % 8:
@@ -567,7 +571,7 @@ class ResPath(nn.Module):
         from accunet_tpu.ops import s2d
         from accunet_tpu.ops.pallas.respath import respath_level_frame
 
-        interpret = jax.devices()[0].platform != "tpu"
+        interpret = not on_tpu()
         b, hf, wf, c4 = x.shape
         c = self.in_chnls
         dt = x.dtype

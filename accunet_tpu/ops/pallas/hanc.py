@@ -32,6 +32,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from accunet_tpu.ops.platform import on_tpu
 from jax.experimental import pallas as pl
 
 
@@ -160,14 +162,14 @@ def _hanc_dispatch(x, w, bias, k):
     b, h, wd, c = x.shape
     cout = w.shape[-1]
     s = 2 ** (k - 1)
-    on_tpu = jax.devices()[0].platform == "tpu"
+    tpu = on_tpu()
     # v5e measurements (benchmarks/bench_hanc.py, chain-delta): the kernel
     # wins ~2x at 56^2 (0.27 vs 0.53 ms) but is par-to-slower at 224^2/112^2
     # where in-VMEM relayout shuffles dominate. Wide bottleneck channels
     # (C=1536 at 28^2) blow Mosaic's scoped-VMEM stack (54 MB > 16 MB limit)
     # — cap at the tested envelope and fall back to XLA elsewhere.
     if (
-        on_tpu and k > 1 and h <= 64 and c <= 512 and cout <= 512
+        tpu and k > 1 and h <= 64 and c <= 512 and cout <= 512
         and h % s == 0 and wd % s == 0 and c % 8 == 0
     ):
         return _hanc_pallas(x, w, bias, k)

@@ -248,9 +248,17 @@ def pick_gb(b: int, th: int, wf: int, e: int, nf: int, cin: int, k: int) -> int:
     estimate fits.  At small E the kernel is program-count-bound (ROOFLINE
     §6: E=96 at b8/th=8 = 112 tiny programs measured slower than unfused
     XLA), so batching images per program is the lever that scales per-program
-    work without touching the Mosaic-fragile tile geometry."""
+    work without touching the Mosaic-fragile tile geometry.
+
+    The gb>1 budget carries a measured 2x factor: in the 2026-08-18 window
+    (ROOFLINE §10) the level-1 geometry (th=8, wf=112, e=128, nf=cin=32)
+    estimated 8.5M at gb=2 but Mosaic's actual scoped-stack allocation was
+    17.04M — the model misses lane-padding of sub-128 channel buffers and
+    the double-buffered io blocks, both of which bite hardest exactly where
+    gb wants to engage (small-E tiles). gb=1 keeps the original budget,
+    which is calibrated against the cnv72 compile boundary (pick_tile)."""
     for gb in (8, 4, 2):
-        if b % gb == 0 and _vmem_estimate(th, wf, e, nf, cin, k, gb) < 16 * 2**20:
+        if b % gb == 0 and 2 * _vmem_estimate(th, wf, e, nf, cin, k, gb) < 16 * 2**20:
             return gb
     return 1
 
@@ -277,10 +285,21 @@ def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
     if gb is None:
         import os
 
-        # default 1 (round-2 behavior) until the TPU A/B lands; "auto" =
-        # pick_gb; an integer forces that batch factor
+        # "auto" = pick_gb; an integer requests that batch factor but is
+        # clamped to the largest safe divisor <= the request — a forced gb
+        # that Mosaic cannot allocate (measured OOMs in the 2026-08-18
+        # window, ROOFLINE §10) helps nobody
         env = os.environ.get("ACCUNET_FUSED_HANC_GB", "1")
-        gb = pick_gb(b, th, wf, e, nf, cin, k) if env == "auto" else int(env)
+        if env == "auto":
+            gb = pick_gb(b, th, wf, e, nf, cin, k)
+        else:
+            req = int(env)
+            gb = 1
+            for cand in (8, 4, 2):
+                if cand <= req and b % cand == 0 and \
+                        2 * _vmem_estimate(th, wf, e, nf, cin, k, cand) < 16 * 2**20:
+                    gb = cand
+                    break
         if b % gb:
             gb = 1
     assert b % gb == 0

@@ -42,7 +42,7 @@ def _kernel(x_ref, xb_ref, y_ref, yb_ref, g_ref, wp_ref, aff_ref,
 
     if has_prev:
         yt = jnp.concatenate([y_ref[0], yb_ref[0, :2]], axis=0)
-        g = g_ref[0]  # (1, 4C) frame-tiled gate
+        g = g_ref[0, 0]  # (1, 4C) frame-tiled gate
         s_se, t_se = aff[2].astype(dt), aff[3].astype(dt)
         xt = xt + lrelu((yt * g.reshape(1, 1, c4)) * s_se + t_se)
 
@@ -66,7 +66,7 @@ def _kernel(x_ref, xb_ref, y_ref, yb_ref, g_ref, wp_ref, aff_ref,
 
     y_out[0] = y1
     x_out[0] = xt[1:1 + th]
-    sums_out[0, 0] = y1.astype(jnp.float32).sum(axis=(0, 1))
+    sums_out[0, 0, 0] = y1.astype(jnp.float32).sum(axis=(0, 1))
 
 
 def respath_level_frame(xf, wpacked, aff_bn, y_prev=None, gate=None,
@@ -102,7 +102,13 @@ def respath_level_frame(xf, wpacked, aff_bn, y_prev=None, gate=None,
     xpad = jnp.pad(xf, ((0, 0), (1, 1), (0, 0), (0, 0)))
     ypad = jnp.pad(y_prev, ((0, 0), (1, 1), (0, 0), (0, 0))) if has_prev \
         else xpad  # dummy (never read)
+    # Mosaic tiling: a block's last two dims must be (8k, 128k) or span the
+    # whole array dim — so the per-image gate rides as (B, 1, 4C) and the
+    # per-tile sums come out (B, Hf/th, 1, 4C) (measured failure in the
+    # 2026-08-18 A/B window, ROOFLINE §10: block (1, c4) over array (8, 128)
+    # rejected by the lowering).
     g = gate.astype(dt) if gate is not None else jnp.zeros((b, c4), dt)
+    g = g.reshape(b, 1, c4)
     wp = jnp.transpose(wpacked, (0, 1, 2, 3)).reshape(9, c4, c4).astype(dt)
 
     y1, xn, sums = pl.pallas_call(
@@ -113,20 +119,20 @@ def respath_level_frame(xf, wpacked, aff_bn, y_prev=None, gate=None,
             pl.BlockSpec((1, th, wf, c4), lambda bi, hi: (bi, hi + 1, 0, 0)),
             pl.BlockSpec((1, th, wf, c4), lambda bi, hi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, th, wf, c4), lambda bi, hi: (bi, hi + 1, 0, 0)),
-            pl.BlockSpec((1, c4), lambda bi, hi: (bi, 0)),
+            pl.BlockSpec((1, 1, c4), lambda bi, hi: (bi, 0, 0)),
             pl.BlockSpec((9, c4, c4), lambda bi, hi: (0, 0, 0)),
             pl.BlockSpec((4, c4), lambda bi, hi: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, th, wf, c4), lambda bi, hi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, th, wf, c4), lambda bi, hi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, c4), lambda bi, hi: (bi, hi, 0)),
+            pl.BlockSpec((1, 1, 1, c4), lambda bi, hi: (bi, hi, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, hf, wf, c4), dt),
             jax.ShapeDtypeStruct((b, hf, wf, c4), dt),
-            jax.ShapeDtypeStruct((b, hf // th, c4), jnp.float32),
+            jax.ShapeDtypeStruct((b, hf // th, 1, c4), jnp.float32),
         ],
         interpret=interpret,
     )(xpad, xpad, ypad, ypad, g, wp, aff)
-    return y1, xn, sums
+    return y1, xn, sums.reshape(b, hf // th, c4)

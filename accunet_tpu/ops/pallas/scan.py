@@ -28,6 +28,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from accunet_tpu.ops.platform import on_tpu
 from jax import lax
 
 
@@ -104,8 +106,7 @@ def chunked_linear_scan(a, b):
 
 
 def _impl(a, b, interpret=False):
-    on_tpu = jax.devices()[0].platform == "tpu"
-    if on_tpu:
+    if on_tpu():
         return _chunked_scan_fwd(a, b)
     return _xla_scan(a, b)
 

@@ -56,6 +56,12 @@ CONFIGS = [
 
 def _worker(spec: dict) -> dict:
     os.environ["JAX_PLATFORMS"] = "cpu"  # never touch the relay
+    # The ambient backend is CPU during AOT tracing, which would switch every
+    # env-gated Pallas kernel to its interpret/XLA fallback and validate
+    # nothing (the hole that let the fused-ResPath tiling bug and the gb>1
+    # scoped-VMEM OOM reach the 2026-08-18 measured window — ROOFLINE §10).
+    # Force the TPU dispatch path so Mosaic actually lowers the kernels.
+    os.environ["ACCUNET_FORCE_TPU_PATH"] = "1"
     import jax
     import jax.numpy as jnp
     from jax.experimental import topologies

@@ -550,10 +550,11 @@ class ResPath(nn.Module):
 
         if self.fuse == "off":
             return False
-        # opt-in until the TPU A/B lands (same policy as the hybrid
-        # HANCBlock front half)
+        # Default ON since the 2026-08-18 follow-up window (ROOFLINE §11):
+        # after the Mosaic tiling fix the fused path measured 470.0 vs 462.8
+        # img/s same-window (and 468.6 in a second confirmation run).
         if self.fuse != "force" and os.environ.get(
-            "ACCUNET_FUSED_RESPATH", "0"
+            "ACCUNET_FUSED_RESPATH", "1"
         ) == "0":
             return False
         if self.fuse != "force" and not on_tpu():

@@ -81,11 +81,11 @@ def _kernel_one(xa, xb, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
     # model (24.03M at the cnv91 shapes).
     xt = jnp.concatenate([xa, xb[:2]], axis=0)
     wf = xt.shape[1]
-    w1 = w1_ref[:]           # (cin, e)
-    wd = wd_ref[:]           # (9, e)
-    affe = affe_ref[:]       # (4, e)   s1, t1, s2, t2
-    affn = affn_ref[:]       # (4, nf)  sh, th_, sres, tres
-    affc = affc_ref[:]       # (2, cout)
+    w1 = w1_ref[:]           # (cin, e)   BN scale pre-folded (host side)
+    wd = wd_ref[:]           # (9, e)     BN scale pre-folded
+    affe = affe_ref[:]       # (2, e)   t1, t2 (shift only — scales folded)
+    affn = affn_ref[:]       # (3, nf)  th_, sres, tres
+    affc = affc_ref[:]       # (1, cout)  t3
 
     f32 = jnp.float32
     dt = xt.dtype
@@ -95,13 +95,17 @@ def _kernel_one(xa, xb, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
         # packed bf16 but not cmpf/select
         return jnp.maximum(t, t * jnp.asarray(0.01, t.dtype))
 
-    # rows of this tile in logical frame coordinates: hi*th - 1 + r; the
-    # mask is a 0/1 multiplicand (packed-bf16 select is not lowerable)
-    row = lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0) + (hi * th - 1)
-    in_image = jnp.logical_and(row >= 0, row < hf).astype(dt)
+    # SAME-padding row masks: of the th+2 staged rows only the two halo rows
+    # can fall outside the image (row 0 iff hi==0, row th+1 iff hi==last), so
+    # the mask is two SCALAR multiplies on single rows instead of a full
+    # (th+2, wf, e) interior pass (ROOFLINE §12: the kernel is VPU-bound —
+    # every saved per-element op is wall-clock)
+    mtop = (hi > 0).astype(dt)
+    mbot = (hi < hf // th - 1).astype(dt)
 
-    # ---- 1x1 expand + folded BN + lrelu, on th+2 rows (halo recompute) ----
-    s1, t1 = affe[0].astype(dt), affe[1].astype(dt)
+    # ---- 1x1 expand (BN scale folded into w1) + shift + lrelu, on th+2
+    # rows (halo recompute) ----
+    t1 = affe[0].astype(dt)
     qp = []  # per-position (th+2, wf+2, e), col-padded for the dwconv
     for p in range(4):
         xpos = xt[:, :, p * cin:(p + 1) * cin]
@@ -109,9 +113,11 @@ def _kernel_one(xa, xb, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
             xpos.reshape(-1, cin), w1, (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
         ).astype(dt).reshape(th + 2, wf, e)
-        y = lrelu(y * s1 + t1)
+        y = lrelu(y + t1)
         # SAME padding pads the post-activation map with zeros
-        y = y * in_image
+        y = jnp.concatenate(
+            [y[:1] * mtop, y[1:th + 1], y[th + 1:] * mbot], axis=0
+        )
         qp.append(jnp.pad(y, ((0, 0), (1, 1), (0, 0))))
 
     if debug_phase == "expand":
@@ -119,8 +125,8 @@ def _kernel_one(xa, xb, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
             out_refs[p][im] = qp[p][1:1 + th, 1:1 + wf, :cout]
         return
 
-    # ---- depthwise 3x3 across positions + folded BN + lrelu ----
-    s2, t2 = affe[2].astype(dt), affe[3].astype(dt)
+    # ---- depthwise 3x3 (BN scale folded into the taps) + shift + lrelu ----
+    t2 = affe[1].astype(dt)
     d = []  # per-position (th, wf, e)
     for po in range(4):
         acc = None
@@ -130,7 +136,7 @@ def _kernel_one(xa, xb, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
             src = qp[pi][1 + gi:1 + gi + th, 1 + gj:1 + gj + wf, :]
             term = src * wd[3 * (u + 1) + (v + 1)].astype(dt)
             acc = term if acc is None else acc + term
-        d.append(lrelu(acc * s2 + t2))
+        d.append(lrelu(acc + t2))
 
     if debug_phase == "dwconv":
         for p in range(4):
@@ -188,23 +194,23 @@ def _kernel_one(xa, xb, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
                 term = mixw(avg_maps[i - 1], w2[:e]) + mixw(max_maps[i - 1], w2[e:])
             acc = term if acc is None else term + up2(acc)
 
-    sh_, th_ = affn[0], affn[1]          # fp32: hanc runs in fp32 accum
-    sres, tres = affn[2].astype(dt), affn[3].astype(dt)
-    s3, t3 = affc[0].astype(dt), affc[1].astype(dt)
-    w3 = w3_ref[:]                       # (nf, cout)
+    th_ = affn[0]                        # fp32: hanc runs in fp32 accum
+    sres, tres = affn[1].astype(dt), affn[2].astype(dt)
+    t3 = affc[0].astype(dt)
+    w3 = w3_ref[:]                       # (nf, cout)  BN scale pre-folded
 
     for p in range(4):
-        h = mixw(d[p], wh0_ref[:])
+        h = mixw(d[p], wh0_ref[:])       # hanc BN scale folded into wh
         if acc is not None:
             h = h + acc
-        r = lrelu(h * sh_ + th_).astype(dt)            # hanc BN + lrelu
+        r = lrelu(h + th_).astype(dt)                  # hanc BN shift + lrelu
         xv = xt[1:1 + th, :, p * cin:(p + 1) * cin]    # residual (nf == cin)
         z = (r + xv) * sres + tres                     # 'norm' BN (no lrelu)
         t = lax.dot_general(
             z.reshape(-1, nf), w3, (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
         ).astype(dt).reshape(th, wf, cout)
-        out_refs[p][im] = lrelu(t * s3 + t3)
+        out_refs[p][im] = lrelu(t + t3)
 
 
 def _vmem_estimate(th, wf, e, nf, cin, k, gb=1):
@@ -316,16 +322,20 @@ def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
     sres, tres = fold(bns["norm"], None)
     s3, t3 = fold(bns["norm3"], b3)
 
-    affe = jnp.stack([s1, t1, s2, t2])            # (4, e) fp32
-    affn = jnp.stack([sh_, th_, sres, tres])      # (4, nf) fp32
-    affc = jnp.stack([s3, t3])                    # (2, cout) fp32
+    # BN scales are folded into the conv weights (fp32, before the bf16
+    # cast): x@(w*s) == (x@w)*s, and the depthwise taps scale per-channel.
+    # The kernel is VPU-bound (ROOFLINE §12) — each fold deletes one full
+    # pass over the E-wide interior; only the shifts remain in-kernel.
+    affe = jnp.stack([t1, t2])                    # (2, e) fp32
+    affn = jnp.stack([th_, sres, tres])           # (3, nf) fp32
+    affc = t3[None]                               # (1, cout) fp32
 
     dt = xf.dtype
     xpad = jnp.pad(xf, ((0, 0), (1, 1), (0, 0), (0, 0)))
-    w1k = w1.astype(dt)
-    wdk = wd.reshape(9, e).astype(dt)
-    whk = jnp.transpose(wh, (1, 0, 2)).astype(dt)  # (2k-1, e, nf)
-    w3k = w3.astype(dt)
+    w1k = (w1 * s1[None, :]).astype(dt)
+    wdk = (wd.reshape(9, e) * s2[None, :]).astype(dt)
+    whk = (jnp.transpose(wh, (1, 0, 2)) * sh_[None, None, :]).astype(dt)
+    w3k = (w3 * s3[None, :]).astype(dt)
     if pad_e and e % 128:
         # Zero-pad the interior width to the 128-lane vreg grid: every VPU
         # pass over the E-wide interior then runs on aligned registers.
@@ -369,9 +379,9 @@ def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
             pl.BlockSpec(wh0k.shape, lambda bi, hi: (0, 0)),
             pl.BlockSpec(whpk.shape, lambda bi, hi: (0, 0, 0)),
             pl.BlockSpec((nf, cout), lambda bi, hi: (0, 0)),
-            pl.BlockSpec((4, e), lambda bi, hi: (0, 0)),
-            pl.BlockSpec((4, nf), lambda bi, hi: (0, 0)),
-            pl.BlockSpec((2, cout), lambda bi, hi: (0, 0)),
+            pl.BlockSpec((2, e), lambda bi, hi: (0, 0)),
+            pl.BlockSpec((3, nf), lambda bi, hi: (0, 0)),
+            pl.BlockSpec((1, cout), lambda bi, hi: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((gb, th, wf, cout), lambda bi, hi: (bi, hi, 0, 0))

@@ -238,10 +238,17 @@ def pick_tile(hf: int, k: int, wf: int | None = None, e: int | None = None,
             return True
         nf_ = nf or e
         cin_ = cin or nf_
-        # 16M matches the v5e scoped-vmem limit and the measured compile
-        # boundary: cnv72 (E=4352) th=2 (est 14.6M) compiles, th=4 (20.5M)
-        # does not
-        return _vmem_estimate(th, wf, e, nf_, cin_, k) < 16 * 2**20
+        # The estimate carries the same measured 2x Mosaic-stack calibration
+        # as pick_gb: at the small-E geometries the model undercounts the
+        # actual scoped allocation by ~2x (measured: cnv12@112f gb=2 est
+        # 8.5M vs 17.04M actual, ROOFLINE §10; cnv12@256f-frame (512^2
+        # input) th=8 est 8.9M vs 20.00M actual — the driver-bench OOM that
+        # forced this margin). The huge-interior cnv72 point (th=2 est
+        # 14.6M compiles) shows the margin is conservative there — the
+        # fused path then falls back to unfused XLA for that opt-in s2d=3
+        # geometry, which measured FASTER anyway (3.98 fused vs 2.66 ms
+        # unfused, ROOFLINE §6).
+        return 2 * _vmem_estimate(th, wf, e, nf_, cin_, k) < 16 * 2**20
 
     for th in (8, 4, 2):
         if th % s == 0 and hf % th == 0 and fits(th):

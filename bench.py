@@ -51,10 +51,39 @@ def _worker_main(spec: dict) -> dict:
     import jax.numpy as jnp
 
     sys.path.insert(0, REPO)
+
+    if spec["kind"] == "scan":
+        # BASELINE config 5: the selective-scan Pallas chunked-scan block at
+        # the SpatialMamba shape (B, L=56*56, D=d_inner*d_state). Reports
+        # millions of scanned tokens per second.
+        from accunet_tpu.ops.pallas.scan import chunked_linear_scan
+
+        b, l, d, steps = 8, 3136, 768, spec["steps"]
+        ka, kb = jax.random.split(jax.random.PRNGKey(0))
+        a = jax.random.uniform(ka, (b, l, d), jnp.float32, 0.2, 0.99)
+        bb = jax.random.uniform(kb, (b, l, d), jnp.float32, -0.5, 0.5)
+
+        @jax.jit
+        def chained(a, bb):
+            def body(_, carry):
+                a, tot = carry
+                h = chunked_linear_scan(a + 1e-9 * tot, bb)
+                return a, tot + h[:, -1].mean()
+
+            _, tot = jax.lax.fori_loop(0, steps, body, (a, jnp.float32(0)))
+            return tot
+
+        float(chained(a, bb))  # compile + warm
+        t0 = time.perf_counter()
+        float(chained(a, bb))
+        dt = time.perf_counter() - t0
+        return {"ok": True, "ips": b * l * steps / dt, "batch": b}
+
     from accunet_tpu.models import build as build_model
 
     dtype = jnp.bfloat16 if spec["dtype"] == "bfloat16" else jnp.float32
-    kwargs = {"n_channels": 3, "n_classes": 1, "dtype": dtype}
+    kwargs = {"n_channels": 3, "n_classes": spec.get("n_classes", 1),
+              "dtype": dtype}
     if spec.get("s2d"):
         kwargs["s2d_levels"] = spec["s2d"]
     model = build_model(spec["model"], **kwargs)
@@ -253,10 +282,13 @@ def main():
     if s2d is None and args.model.startswith("ACC_UNet"):
         s2d = 2
 
-    def spec(kind, model, batch, steps, s2d_lv=None):
-        return {"kind": kind, "model": model, "img": args.img, "batch": batch,
-                "steps": max(steps, -(-1000 // batch)), "dtype": args.dtype,
-                "s2d": s2d_lv, "repeats": args.repeats}
+    def spec(kind, model, batch, steps, s2d_lv=None, img=None, n_classes=1,
+             cap_steps=True):
+        return {"kind": kind, "model": model, "img": img or args.img,
+                "batch": batch,
+                "steps": max(steps, -(-1000 // batch)) if cap_steps else steps,
+                "dtype": args.dtype, "s2d": s2d_lv,
+                "n_classes": n_classes, "repeats": args.repeats}
 
     # headline: best over the requested batch sizes
     best, best_bs = 0.0, 0
@@ -278,6 +310,20 @@ def main():
                        deadline, args.attempt_timeout, errors, state)
         if ips:
             extras["ACC_UNet_train_b8"] = round(ips, 1)
+        # BASELINE config 4: ACC_UNet_W multi-class at 512x512 (3+1-way
+        # softmax head, the GlaS/Synapse-style config)
+        ips = _measure(
+            spec("infer", "ACC_UNet_W", 2, 8, 2, img=512, n_classes=3,
+                 cap_steps=False),
+            deadline, args.attempt_timeout, errors, state)
+        if ips:
+            extras["ACC_UNet_W_mc512_infer_b2"] = round(ips, 1)
+        # BASELINE config 5: selective-scan Pallas chunked-scan block
+        # (SpatialMamba shape) — millions of scanned tokens per second
+        ips = _measure(spec("scan", "scan_block", 8, 32, cap_steps=False),
+                       deadline, args.attempt_timeout, errors, state)
+        if ips:
+            extras["selective_scan_Mtok_s"] = round(ips / 1e6, 1)
 
     result = {
         "metric": (f"{args.model} {args.img}x{args.img} {args.dtype} "

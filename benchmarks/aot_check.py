@@ -109,6 +109,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="ACC_UNet_Lite")
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--img", type=int, default=224)
     ap.add_argument("--timeout", type=float, default=900)
     ap.add_argument("--only", default=None, help="substring filter on name")
     ap.add_argument("--_worker", default=None, help=argparse.SUPPRESS)
@@ -127,7 +128,7 @@ def main():
         if args.only and args.only not in name:
             continue
         spec = {"model": args.model, "batch": args.batch,
-                "s2d": kw.get("s2d", 2)}
+                "img": args.img, "s2d": kw.get("s2d", 2)}
         env = dict(os.environ)
         env.update(env_extra)
         try:

@@ -67,6 +67,9 @@ def test_bench_reports_headline_and_extras():
     assert result["extras"] == {
         "ACC_UNet_Lite_infer_b8": 12345.6,
         "ACC_UNet_train_b8": 12345.6,
+        "ACC_UNet_W_mc512_infer_b2": 12345.6,
+        # the scan extra reports millions of tokens/sec (ips / 1e6)
+        "selective_scan_Mtok_s": 0.0,
     }
     assert "error" not in result
 

@@ -119,8 +119,13 @@ class ChannelSELayer(nn.Module):
     layout: str = "nhwc"  # 'nhwc' | 's2d' (ops/s2d.py frame)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        if self.layout == "s2d":
+    def __call__(self, x, train: bool = False, squeezed=None):
+        # `squeezed` lets a fused producer (ops/pallas/hanc_block.py with
+        # emit_sums) hand over the per-channel global mean so the full map
+        # is never re-read from HBM for the squeeze
+        if squeezed is not None:
+            squeezed = squeezed.astype(x.dtype)
+        elif self.layout == "s2d":
             from accunet_tpu.ops import s2d
 
             squeezed = s2d.global_avg_pool(x)
@@ -459,7 +464,7 @@ class HANCBlock(nn.Module):
         sres, tres = _BNParams(self.n_filts, name="norm")()
         k3, b3 = _ConvParams(1, 1, self.n_filts, self.out_channels, name="conv3")()
         s3, t3 = _BNParams(self.out_channels, name="norm3")()
-        y = hanc_block_frame(
+        y, sums = hanc_block_frame(
             inp, k1[0, 0], b1, kd[:, :, 0, :], bd, wh, bh, k3[0, 0], b3,
             {
                 "norm1": (s1, t1),
@@ -470,10 +475,15 @@ class HANCBlock(nn.Module):
             },
             self.k,
             interpret=not on_tpu(),
+            emit_sums=True,
         )
+        # SE squeeze from the kernel's per-tile channel sums: the global
+        # mean never re-reads the (B, Hf, Wf, 4*cout) map from HBM
+        b, hf, wf, _ = y.shape
+        squeezed = sums.sum(axis=(1, 2)) / (4 * hf * wf)
         return ChannelSELayer(
             self.out_channels, self.dtype, layout="s2d", name="sqe"
-        )(y, train)
+        )(y, train, squeezed=squeezed)
 
 
 class _SEParams(nn.Module):

@@ -52,7 +52,7 @@ from accunet_tpu.ops.s2d import _S2D_GEOM
 
 def _kernel(xa_ref, xb_ref, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
             affe_ref, affn_ref, affc_ref, *out_refs, cin, e, nf, cout, k, th,
-            hf, gb=1, debug_phase="full"):
+            hf, gb=1, debug_phase="full", emit_sums=False):
     """One (gb images x th rows x full width) frame tile -> four finished
     position blocks of the HANCBlock output (pre-SE).
 
@@ -67,12 +67,13 @@ def _kernel(xa_ref, xb_ref, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
             xa_ref[im], xb_ref[im], w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
             affe_ref, affn_ref, affc_ref, out_refs, im=im, hi=hi, cin=cin,
             e=e, nf=nf, cout=cout, k=k, th=th, hf=hf, debug_phase=debug_phase,
+            emit_sums=emit_sums,
         )
 
 
 def _kernel_one(xa, xb, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
                 affe_ref, affn_ref, affc_ref, out_refs, *, im, hi, cin, e,
-                nf, cout, k, th, hf, debug_phase):
+                nf, cout, k, th, hf, debug_phase, emit_sums=False):
     # rows [hi*th, hi*th+th+2) of the row-padded frame == logical frame rows
     # hi*th-1 .. hi*th+th.  Staged as two th-row blocks of the SAME padded
     # array (xa = tile rows, xb = next tile, of which only the first 2 halo
@@ -210,7 +211,13 @@ def _kernel_one(xa, xb, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
             z.reshape(-1, nf), w3, (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
         ).astype(dt).reshape(th, wf, cout)
-        out_refs[p][im] = lrelu(t + t3)
+        o = lrelu(t + t3)
+        out_refs[p][im] = o
+        if emit_sums:
+            # per-tile channel sums of the output, for the trailing SE's
+            # global mean — the consumer then never re-reads the full map
+            # from HBM (same pattern as ops/pallas/respath.py)
+            out_refs[4][im, 0, p] = o.astype(f32).sum(axis=(0, 1))
 
 
 def _vmem_estimate(th, wf, e, nf, cin, k, gb=1):
@@ -278,15 +285,19 @@ def pick_gb(b: int, th: int, wf: int, e: int, nf: int, cin: int, k: int) -> int:
 
 def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
                      interpret=False, th=None, gb=None, pad_e=True,
-                     debug_phase="full"):
+                     debug_phase="full", emit_sums=False):
     """Fused HANCBlock forward (pre-SE) on a frame map.
 
     xf: (B, Hf, Wf, 4*cin) s2d frame.  w1 (cin, e), wd (3, 3, e),
     wh (e, 2k-1, nf), w3 (nf, cout), b* the conv biases.  bns: dict of four
     folded BN affines {'norm1','norm2','hnc','norm','norm3'} -> (scale,
     shift) pairs (fp32, per logical channel); conv biases are folded into
-    the following BN's shift here.  Returns the (B, Hf, Wf, 4*cout) frame.
+    the following BN's shift here.  Returns the (B, Hf, Wf, 4*cout) frame —
+    or, with ``emit_sums``, a (frame, sums) pair where sums is
+    (B, Hf/th, 4, cout) fp32 per-tile/per-position channel sums of the
+    output so the trailing SE's global mean never re-reads the map.
     """
+    assert not (emit_sums and debug_phase != "full")
     b, hf, wf, c4 = xf.shape
     cin = c4 // 4
     e = w1.shape[1]
@@ -369,10 +380,24 @@ def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
     else:
         whpk = jnp.zeros((1, 2, nf), dt)
 
+    out_specs = [
+        pl.BlockSpec((gb, th, wf, cout), lambda bi, hi: (bi, hi, 0, 0))
+        for _ in range(4)
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b, hf, wf, cout), dt) for _ in range(4)]
+    if emit_sums:
+        out_specs.append(
+            pl.BlockSpec((gb, 1, 4, cout), lambda bi, hi: (bi, hi, 0, 0))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, hf // th, 4, cout), jnp.float32)
+        )
+
     grid = (b // gb, hf // th)
     outs = pl.pallas_call(
         functools.partial(_kernel, cin=cin, e=e, nf=nf, cout=cout, k=k,
-                          th=th, hf=hf, gb=gb, debug_phase=debug_phase),
+                          th=th, hf=hf, gb=gb, debug_phase=debug_phase,
+                          emit_sums=emit_sums),
         grid=grid,
         in_specs=[
             # row-padded input, staged twice: the tile's th rows and the next
@@ -390,11 +415,11 @@ def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
             pl.BlockSpec((3, nf), lambda bi, hi: (0, 0)),
             pl.BlockSpec((1, cout), lambda bi, hi: (0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((gb, th, wf, cout), lambda bi, hi: (bi, hi, 0, 0))
-            for _ in range(4)
-        ],
-        out_shape=[jax.ShapeDtypeStruct((b, hf, wf, cout), dt) for _ in range(4)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(xpad, xpad, w1k, wdk, wh0k, whpk, w3k, affe, affn, affc)
-    return jnp.concatenate(outs, axis=-1)
+    frame = jnp.concatenate(outs[:4], axis=-1)
+    if emit_sums:
+        return frame, outs[4]
+    return frame

@@ -118,8 +118,18 @@ def test_gb_image_batching_matches_gb1():
         ]
     }
     args = (xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k)
-    y1 = hanc_block_frame(*args, interpret=True, gb=1)
+    y1, s1 = hanc_block_frame(*args, interpret=True, gb=1, emit_sums=True)
     for gb in (2, 4):
-        yg = hanc_block_frame(*args, interpret=True, gb=gb)
+        yg, sg = hanc_block_frame(*args, interpret=True, gb=gb,
+                                  emit_sums=True)
         np.testing.assert_allclose(np.asarray(yg), np.asarray(y1),
                                    atol=1e-6, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(sg), np.asarray(s1),
+                                   atol=1e-5, rtol=1e-5)
+    # the sums output must equal the per-tile/per-position channel sums of
+    # the returned frame (the SE squeeze contract)
+    b_, hf, wf, _ = y1.shape
+    th = hf // s1.shape[1]
+    yt = np.asarray(y1, np.float32).reshape(b_, s1.shape[1], th, wf, 4, cout)
+    ref_sums = yt.sum(axis=(2, 3))
+    np.testing.assert_allclose(np.asarray(s1), ref_sums, atol=1e-4, rtol=1e-4)

@@ -57,7 +57,7 @@ from accunet_tpu.nn.attention import (
 )
 from accunet_tpu.nn.kan import FKANMLP, KAN
 from accunet_tpu.nn.ss2d import SS2D
-from accunet_tpu.nn.ssm import MambaVisionMixer, SpatialMambaBlock
+from accunet_tpu.nn.ssm import BiMamba, MambaVisionMixer, SpatialMambaBlock
 from accunet_tpu.nn.unetr import (
     UnetOutBlock,
     UnetrBasicBlock,
@@ -312,7 +312,10 @@ class TransformerMambaBlock(nn.Module):
 
 class PlainMambaLayer(nn.Module):
     """Baseline SegMamba MambaLayer (nets/segmamba.py:49-76): norm over
-    tokens + Mamba mixer + residual."""
+    tokens + bimamba-v2 Mamba mixer + residual. The reference instantiates
+    ``Mamba(d_model=dim, d_state=16, d_conv=4, expand=2, bimamba_type="v2")``
+    — forward + time-flipped backward scans with separate parameter sets
+    (nn/ssm.py:BiMamba, oracle parity in tests/test_bimamba_parity.py)."""
 
     dim: int
     d_state: int = 16
@@ -325,8 +328,9 @@ class PlainMambaLayer(nn.Module):
         b, h, w, c = x.shape
         t = x.reshape(b, h * w, c)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(t)
-        y = MambaVisionMixer(
-            c, self.d_state, self.d_conv, self.expand, dtype=self.dtype, name="mamba"
+        y = BiMamba(
+            c, self.d_state, self.d_conv, self.expand, dtype=self.dtype,
+            name="mamba",
         )(y)
         return (t + y).reshape(b, h, w, c)
 

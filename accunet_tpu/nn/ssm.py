@@ -160,6 +160,103 @@ class MambaVisionMixer(nn.Module):
         return nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="out_proj")(y)
 
 
+class BiMamba(nn.Module):
+    """Canonical mamba_ssm ``Mamba`` block with ``bimamba_type="v2"`` — the
+    mixer the SegMamba baseline instantiates (ref nets/segmamba.py:49-76:
+    d_state=16, d_conv=4, expand=2, bimamba_type="v2").
+
+    The reference package (Vim-style mamba_ssm fork) is CUDA-only and fails
+    to import here; this is a TPU-native implementation of the *published*
+    bimamba-v2 forward (mamba_simple.py of that fork):
+
+      xz = in_proj(x)                          # (B, L, 2*d_inner), no bias
+      fwd branch : x̂, z = chunk(xz); x̂ = silu(causal_conv1d(x̂));
+                   (dt,B,C) = x_proj(x̂); dt = dt_proj(dt);
+                   y = selective_scan(x̂, dt, A, B, C, D, z=z,
+                                      delta_bias=dt_proj.bias, softplus)
+      bwd branch : the same ops on time-flipped xz with the *_b parameter
+                   set (A_b_log, conv1d_b, x_proj_b, dt_proj_b, D_b),
+                   output flipped back
+      out        = out_proj(y_fwd + flip(y_bwd))   # if_devide_out=False
+                                                   # (the fork's default,
+                                                   # SegMamba passes nothing)
+
+    Verified against a hand-written torch loop oracle
+    (tests/test_bimamba_parity.py) since the CUDA package cannot run here.
+    """
+
+    d_model: int
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    dt_rank: int | None = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, L, C) → (B, L, C)."""
+        b, l, c = x.shape
+        d_inner = self.expand * self.d_model
+        dt_rank = self.dt_rank or math.ceil(self.d_model / 16)
+
+        xz = nn.Dense(
+            2 * d_inner, use_bias=False, dtype=self.dtype, name="in_proj"
+        )(x)
+
+        def branch(xz_bld, suffix):
+            xs, z = xz_bld[..., :d_inner], xz_bld[..., d_inner:]
+            # torch Conv1d(padding=d_conv-1) then [..., :L] == causal conv
+            xs = nn.Conv(
+                d_inner, (self.d_conv,), padding=[(self.d_conv - 1, 0)],
+                feature_group_count=d_inner, use_bias=True, dtype=self.dtype,
+                name=f"conv1d{suffix}",
+            )(xs)
+            xs = jax.nn.silu(xs)
+            x_dbl = nn.Dense(
+                dt_rank + 2 * self.d_state, use_bias=False, dtype=self.dtype,
+                name=f"x_proj{suffix}",
+            )(xs)
+            dt, bmat, cmat = jnp.split(
+                x_dbl, [dt_rank, dt_rank + self.d_state], axis=-1
+            )
+            dt_kernel, dt_bias = DenseParams(
+                dt_rank, d_inner, name=f"dt_proj{suffix}"
+            )()
+            # the fused CUDA path applies dt_proj WITHOUT its bias and passes
+            # the bias as delta_bias (mamba_inner_fn: delta_proj_weight only;
+            # delta_bias=dt_proj.bias) — once, unlike MambaVisionMixer's
+            # double-add quirk
+            dt = dt @ dt_kernel.astype(dt.dtype)
+            a_log = self.param(
+                f"A{suffix or ''}_log" if suffix else "A_log",
+                lambda key, shape: jnp.log(jnp.broadcast_to(
+                    jnp.arange(1, self.d_state + 1, dtype=jnp.float32), shape
+                )),
+                (d_inner, self.d_state),
+            )
+            dmat = self.param(
+                f"D{suffix}", nn.initializers.ones, (d_inner,), jnp.float32
+            )
+            return selective_scan(
+                xs.transpose(0, 2, 1),
+                dt.transpose(0, 2, 1),
+                -jnp.exp(a_log),
+                bmat.transpose(0, 2, 1),
+                cmat.transpose(0, 2, 1),
+                dmat,
+                z=z.transpose(0, 2, 1),
+                delta_bias=dt_bias,
+                delta_softplus=True,
+            )  # (B, d_inner, L)
+
+        y_f = branch(xz, "")
+        y_b = branch(xz[:, ::-1], "_b")[:, :, ::-1]
+        y = (y_f + y_b).transpose(0, 2, 1)  # (B, L, d_inner)
+        return nn.Dense(
+            self.d_model, use_bias=False, dtype=self.dtype, name="out_proj"
+        )(y)
+
+
 class StateFusion(nn.Module):
     dim: int
     dtype: Dtype = jnp.float32

@@ -275,8 +275,11 @@ def pick_gb(b: int, th: int, wf: int, e: int, nf: int, cin: int, k: int) -> int:
     estimated 8.5M at gb=2 but Mosaic's actual scoped-stack allocation was
     17.04M — the model misses lane-padding of sub-128 channel buffers and
     the double-buffered io blocks, both of which bite hardest exactly where
-    gb wants to engage (small-E tiles). gb=1 keeps the original budget,
-    which is calibrated against the cnv72 compile boundary (pick_tile)."""
+    gb wants to engage (small-E tiles). pick_tile now carries the same 2x
+    margin (added after the 512^2 driver-bench OOM), so gb=1 no longer uses
+    the original cnv72-calibrated budget: cnv72's th=2 tile fails the
+    margin and intentionally falls back to the unfused path, which measured
+    FASTER there anyway (3.98 fused vs 2.66 ms unfused, ROOFLINE §6)."""
     for gb in (8, 4, 2):
         if b % gb == 0 and 2 * _vmem_estimate(th, wf, e, nf, cin, k, gb) < 16 * 2**20:
             return gb
@@ -324,6 +327,18 @@ def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
                         2 * _vmem_estimate(th, wf, e, nf, cin, k, cand) < 16 * 2**20:
                     gb = cand
                     break
+            if req > 1 and gb != req:
+                # a forced gb silently clamped (VMEM estimate or batch
+                # divisibility) would make A/B configs lie about what ran —
+                # say so once per distinct downgrade (advisor r3)
+                import warnings
+
+                warnings.warn(
+                    f"ACCUNET_FUSED_HANC_GB={req} downgraded to gb={gb} at "
+                    f"(b={b}, th={th}, wf={wf}, e={e}): VMEM estimate or "
+                    "batch divisibility rejected the requested factor",
+                    stacklevel=2,
+                )
         if b % gb:
             gb = 1
     assert b % gb == 0

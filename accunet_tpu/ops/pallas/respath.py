@@ -42,7 +42,7 @@ def _kernel(x_ref, xb_ref, y_ref, yb_ref, g_ref, wp_ref, aff_ref,
 
     if has_prev:
         yt = jnp.concatenate([y_ref[0], yb_ref[0, :2]], axis=0)
-        g = g_ref[0, 0]  # (1, 4C) frame-tiled gate
+        g = g_ref[0, 0]  # (4C,) per-image frame-tiled gate vector
         s_se, t_se = aff[2].astype(dt), aff[3].astype(dt)
         xt = xt + lrelu((yt * g.reshape(1, 1, c4)) * s_se + t_se)
 

@@ -41,6 +41,10 @@ def _load_device_events(trace_dir: str):
         name = e["name"]
         if name.startswith(("jit_", "while")):  # enclosing regions, not ops
             continue
+        if name.isdigit() and "tf_op" not in e.get("args", {}):
+            # whole-execution envelope spans (name "0", no op scope) — they
+            # cover the entire jit region and would double-count every op
+            continue
         events.append((name, e.get("dur", 0.0), e.get("args", {})))
     return events
 

@@ -50,6 +50,12 @@ def _worker_main(spec: dict) -> dict:
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the ACC-UNet fwd+bwd train step alone can
+    # take minutes to compile cold over the serving relay — without the
+    # cache a cold round can blow the per-attempt watchdog budget
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     sys.path.insert(0, REPO)
 
     if spec["kind"] == "scan":

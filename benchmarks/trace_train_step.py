@@ -1,0 +1,128 @@
+"""Per-module device trace of the ACC-UNet train step (BASELINE config 2).
+
+VERDICT r3 weak #1a: the 47.9 img/s (167 ms/step) number has zero roofline
+work — fwd is 15.8 ms at inference so >10x is suspicious (canonical
+fwd+bwd+Adam is ~3x fwd). This script traces ONE jitted train step
+(fwd+bwd+Adam, BCE+Dice, b8@224, bf16) and attributes device time per
+module, split fwd vs bwd (bwd ops carry a `transpose(jvp(...))` scope
+component in tf_op).
+
+Run: python benchmarks/trace_train_step.py [--s2d 2] [--batch 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from accunet_tpu.models import build
+from accunet_tpu.train import losses as L
+from accunet_tpu.utils.trace_report import _load_device_events
+
+
+def fwd_bwd_module_times(trace_dir: str, steps: int = 1):
+    """[(module, fwd_ms, bwd_ms)] by first named module scope; bwd = any
+    path component starting with 'transpose('."""
+    grp = collections.defaultdict(lambda: [0.0, 0.0])
+    total = [0.0, 0.0]
+    for name, dur, args in _load_device_events(trace_dir):
+        path = str(args.get("tf_op", "")).split("/")
+        is_bwd = any(p.startswith("transpose(") for p in path)
+        mods = [p for p in path if p and "(" not in p and not p.startswith(
+            ("while", "body", "closed_call", "jit", "broadcast")
+        )]
+        key = mods[1] if len(mods) > 1 else (mods[0] if mods else "other")
+        grp[key][1 if is_bwd else 0] += dur
+        total[1 if is_bwd else 0] += dur
+    rows = sorted(grp.items(), key=lambda kv: -(kv[1][0] + kv[1][1]))
+    out = [(m, f / 1e3 / steps, b / 1e3 / steps) for m, (f, b) in rows]
+    out.append(("total", total[0] / 1e3 / steps, total[1] / 1e3 / steps))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="ACC_UNet")
+    ap.add_argument("--img", type=int, default=224)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--s2d", type=int, default=None)
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--trace", default="/tmp/train_trace")
+    args = ap.parse_args()
+    dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    kwargs = {}
+    if args.s2d is not None:
+        kwargs["s2d_levels"] = args.s2d
+    if args.remat:
+        kwargs["remat"] = True
+    model = build(args.model, n_channels=3, n_classes=1, dtype=dt, **kwargs)
+    tx = optax.adam(1e-3)
+
+    bs = args.batch
+    x = jnp.asarray(np.random.rand(bs, args.img, args.img, 3), jnp.float32)
+    y = jnp.asarray(np.random.rand(bs, args.img, args.img, 1) > 0.5,
+                    jnp.float32)
+    var = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x, train=False))()
+    opt = tx.init(var["params"])
+
+    def loss_fn(p, bstats, x, y):
+        out, upd = model.apply(
+            {"params": p, "batch_stats": bstats}, x, train=True,
+            mutable=["batch_stats"],
+        )
+        return L.weighted_dice_bce(out, y), upd["batch_stats"]
+
+    n_steps = args.steps
+
+    @jax.jit
+    def run(p, bstats, o, x, y):
+        def step(carry, _):
+            p, bstats, o, l = carry
+            xc = x + (1e-6 * l).astype(x.dtype)
+            (l, nbs), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                p, bstats, xc, y)
+            u, no = tx.update(g, o, p)
+            return (optax.apply_updates(p, u), nbs, no, l), ()
+
+        carry, _ = jax.lax.scan(
+            step, (p, bstats, o, jnp.float32(0)), None, length=n_steps)
+        return carry[3]
+
+    p, bstats = var["params"], var["batch_stats"]
+    t0 = time.perf_counter()
+    float(run(p, bstats, opt, x, y))  # compile + warm
+    print(f"compile+warm: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    float(run(p, bstats, opt, x, y))
+    wall = (time.perf_counter() - t0) / n_steps
+    print(f"wall: {wall*1e3:.1f} ms/step  {bs/wall:.1f} img/s")
+
+    with jax.profiler.trace(args.trace):
+        float(run(p, bstats, opt, x, y))
+
+    rows = fwd_bwd_module_times(args.trace, steps=n_steps)
+    print(f"\nper-module device ms/step (fwd | bwd), {n_steps} steps, "
+          f"b{bs}@{args.img} {args.dtype} s2d={args.s2d}:")
+    for m, f, b in rows:
+        print(f"  {f:8.3f} | {b:8.3f}  {m}")
+
+    from accunet_tpu.utils.trace_report import top_ops
+    print("\ntop ops:")
+    for name, ms, src in top_ops(args.trace, n=25, steps=n_steps):
+        print(f"  {ms:8.3f}  {name[:44]:44s} {src[:70]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -57,19 +57,22 @@ def test_bench_survives_hung_backend():
 
 @pytest.mark.quick
 def test_bench_reports_headline_and_extras():
-    fake = json.dumps({"ok": True, "ips": 12345.6, "batch": 32})
+    # ips large enough that the scan extra's /1e6 conversion survives the
+    # round(-, 1) — a sub-1e5 stub would assert 0.0 and could not tell a
+    # real conversion from a broken/zero rate (advisor r3)
+    fake = json.dumps({"ok": True, "ips": 12345600.0, "batch": 32})
     result, _, _ = _run_bench(
         ["--batches", "32", "--attempt-timeout", "30"],
         {"_BENCH_TEST_FAKE": fake},
     )
-    assert result["value"] == 12345.6
-    assert result["vs_baseline"] == pytest.approx(2.469, abs=1e-3)
+    assert result["value"] == 12345600.0
+    assert result["vs_baseline"] == pytest.approx(2469.12, abs=1e-2)
     assert result["extras"] == {
-        "ACC_UNet_Lite_infer_b8": 12345.6,
-        "ACC_UNet_train_b8": 12345.6,
-        "ACC_UNet_W_mc512_infer_b2": 12345.6,
+        "ACC_UNet_Lite_infer_b8": 12345600.0,
+        "ACC_UNet_train_b8": 12345600.0,
+        "ACC_UNet_W_mc512_infer_b2": 12345600.0,
         # the scan extra reports millions of tokens/sec (ips / 1e6)
-        "selective_scan_Mtok_s": 0.0,
+        "selective_scan_Mtok_s": 12.3,
     }
     assert "error" not in result
 

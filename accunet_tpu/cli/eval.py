@@ -25,6 +25,10 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--img-size", type=int, default=None,
                     help="override the preset image size")
+    ap.add_argument("--split", default=None,
+                    help="frozen split file (one sample id per line, e.g. "
+                         "Reproducibility/dataset_split/ISIC18/exp1/Test.txt)"
+                         " restricting --test-dir")
     ap.add_argument("--csv", default="metrics_results.csv")
     ap.add_argument("--result", default="test.result")
     ap.add_argument("--dump-dir", default=None)
@@ -54,8 +58,14 @@ def main(argv=None):
     if args.img_size:
         cfg.data.img_size = args.img_size
 
+    test_ids = None
+    if args.split:
+        from accunet_tpu.data.dataset import list_split_ids
+
+        test_ids = list_split_ids(args.split)
     ds = SegmentationDataset(
-        args.test_dir, cfg.data.img_size, binarize_mask=args.n_classes == 1
+        args.test_dir, cfg.data.img_size, ids=test_ids,
+        binarize_mask=args.n_classes == 1,
     )
     loader = BatchLoader(
         ds, args.batch, ValGenerator((cfg.data.img_size, cfg.data.img_size)),

@@ -98,16 +98,26 @@ def main(argv=None):
                     help="checkpoint path to resume, or 'auto' to pick up "
                          "the newest checkpoint in --ckpt-dir (restart "
                          "resilience; fresh run if none)")
-    ap.add_argument("--distributed", action="store_true",
+    ap.add_argument("--distributed", nargs="?", const="auto", default=None,
                     help="multi-host SPMD: call jax.distributed.initialize() "
-                         "(coordinator/process env-configured per JAX docs) "
                          "and shard the input pipeline per process — each "
-                         "host loads only its slice of every global batch")
+                         "host loads only its slice of every global batch. "
+                         "With no value the coordinator is env-configured "
+                         "(TPU/Slurm/OMPI per JAX docs); an explicit "
+                         "'ADDR:PORT,PROCESS_ID,NUM_PROCESSES' value "
+                         "bootstraps any cluster (e.g. the 2-process CPU "
+                         "smoke test in tests/test_multihost_sharding.py)")
     ap.add_argument("--vis-dir", default=None,
                     help="save input/gt/pred PNGs from the first val batch "
                          "every --vis-frequency epochs "
                          "(Train_one_epoch.py:139-144 analogue)")
     ap.add_argument("--vis-frequency", type=int, default=10)
+    ap.add_argument("--train-split", default=None,
+                    help="frozen split file (one sample id per line, e.g. "
+                         "Reproducibility/dataset_split/ISIC18/exp1/"
+                         "Train.txt) restricting --train-dir")
+    ap.add_argument("--val-split", default=None,
+                    help="frozen split file restricting --val-dir")
     ap.add_argument("--set", nargs="*", default=[], help="dotted config overrides")
     ap.add_argument("--ckpt-dir", default=None)
     args = ap.parse_args(argv)
@@ -183,7 +193,15 @@ def main(argv=None):
 
     proc_idx, proc_cnt = 0, 1
     if args.distributed:
-        jax.distributed.initialize()  # env-configured (multi-slice DP, DCN)
+        if args.distributed == "auto":
+            jax.distributed.initialize()  # env-configured (multi-slice DP)
+        else:
+            addr, pid, nproc = args.distributed.rsplit(",", 2)
+            jax.distributed.initialize(
+                coordinator_address=addr,
+                process_id=int(pid),
+                num_processes=int(nproc),
+            )
         proc_idx, proc_cnt = jax.process_index(), jax.process_count()
         logging.info("distributed: process %d/%d", proc_idx, proc_cnt)
 
@@ -192,11 +210,17 @@ def main(argv=None):
         logging.info("SPMD mesh: %s", dict(mesh.shape))
 
     binarize = args.n_classes == 1  # multi-class keeps integer label ids
+    from accunet_tpu.data.dataset import list_split_ids
+
+    train_ids = list_split_ids(args.train_split) if args.train_split else None
+    val_ids = list_split_ids(args.val_split) if args.val_split else None
     train_ds = SegmentationDataset(
-        cfg.data.train_dir, cfg.data.img_size, binarize_mask=binarize
+        cfg.data.train_dir, cfg.data.img_size, ids=train_ids,
+        binarize_mask=binarize,
     )
     val_ds = SegmentationDataset(
-        cfg.data.val_dir, cfg.data.img_size, binarize_mask=binarize
+        cfg.data.val_dir, cfg.data.img_size, ids=val_ids,
+        binarize_mask=binarize,
     )
     train_tf = RandomGenerator((cfg.data.img_size, cfg.data.img_size))
     val_tf = ValGenerator((cfg.data.img_size, cfg.data.img_size))

@@ -552,24 +552,51 @@ def haar_wavelet_pool2d(x):
 
 
 class AdaptiveWaveletPool2d(nn.Module):
-    """Learnable single-level wavelet pooling (wavelet_pool2d.py:105-130):
-    learnable dec_lo/dec_hi filters (init Haar), LL-band output + mean
-    rescale. `product_filter_loss` is the orthogonality regularizer."""
+    """Learnable single-level wavelet pooling (wavelet_pool2d.py:105-130).
+
+    Faithful to the reference class at its used geometry (filt_len=2,
+    scales=1, the StaticWaveletPool2d config every consuming net
+    instantiates — AdaptiveWaveletPool2d itself is constructed NOWHERE in
+    the reference tree, verified by grep over Experiments/nets):
+
+      * learnable dec_lo/dec_hi filters (Haar init); the analysis conv uses
+        the FLIPPED filters (get_filter_tensors(flip=True) +
+        cross-correlation = true convolution — wavelet_pool2d.py:131-160),
+        which matters once the filters train away from symmetric Haar
+      * a learnable per-coefficient scale weight, applied SQUARED
+        (forward:'pool_coeffs' * get_scales_weights(), :44-55,82-84); at
+        scales=1 the kept coefficient list is [LL] alone so the weight
+        cancels in the trailing mean-rescale — it shapes gradients only
+      * the detail bands are dropped and the single-LL inverse transform is
+        the identity (conv_ifwt_2d loop body never runs for len(coeffs)==1)
+      * output = LL * mean(x)/mean(LL)
+
+    `product_filter_loss` is the wavelet_loss() orthogonality regularizer
+    (get_wavelet_loss, :123-124). Parity: tests/test_archs_parity_sweep.py
+    ::test_adaptive_wavelet_pool_parity (Haar init AND perturbed
+    asymmetric filters)."""
 
     filt_len: int = 2
 
     @nn.compact
     def __call__(self, x):
+        assert self.filt_len == 2, (
+            "reference nets only ever pool with 2-tap (Haar-family) "
+            "filters; longer banks need the double-pad path"
+        )
         inv_sqrt2 = 1.0 / jnp.sqrt(2.0)
         dec_lo = self.param(
             "dec_lo", lambda k, s: jnp.full(s, inv_sqrt2), (self.filt_len,)
         )
-        dec_hi = self.param(
+        self.param(  # gradient-only at scales=1 (see docstring); kept for
+            "scales_weights", nn.initializers.ones, (1,))  # state parity
+        self.param(
             "dec_hi",
             lambda k, s: jnp.asarray([inv_sqrt2, -inv_sqrt2]),
             (self.filt_len,),
         )
-        ll = jnp.einsum("i,j->ij", dec_lo, dec_lo)
+        lo = dec_lo[::-1]  # flip=True: correlate with the reversed filter
+        ll = jnp.einsum("i,j->ij", lo, lo)
         b, h, w, c = x.shape
         # depthwise 2x2 stride-2 conv with the learned LL filter
         kern_dw = ll[:, :, None, None] * jnp.ones((1, 1, 1, c))

@@ -94,15 +94,34 @@ class SS2D(nn.Module):
         dts = jnp.einsum("bkrl,kdr->bkdl", dts, dt_projs_weight.astype(dts.dtype))
 
         As = -jnp.exp(a_logs)  # (K, D, N)
-        y = jax.vmap(
-            lambda xk, dk, bk, ck, ak, dsk, biask: selective_scan(
-                xk, dk, ak, bk, ck, dsk, delta_bias=biask, delta_softplus=True
-            ),
-            in_axes=(1, 1, 1, 1, 0, 0, 0),
-            out_axes=1,
-        )(
-            xs, dts, bs, cs, As, ds, dt_projs_bias
-        )  # (B, K, D, L)
+        from accunet_tpu.parallel import seq_scan as _seq
+
+        if _seq.active() is not None:
+            # sequence-parallel mode: shard_map (inside the scan core) does
+            # not compose with vmap, so unroll the K=4 directions — same
+            # math, each direction's scan L-axis rides the mesh's seq axis
+            y = jnp.stack(
+                [
+                    selective_scan(
+                        xs[:, k], dts[:, k], As[k], bs[:, k], cs[:, k],
+                        ds[k], delta_bias=dt_projs_bias[k],
+                        delta_softplus=True,
+                    )
+                    for k in range(K)
+                ],
+                axis=1,
+            )  # (B, K, D, L)
+        else:
+            y = jax.vmap(
+                lambda xk, dk, bk, ck, ak, dsk, biask: selective_scan(
+                    xk, dk, ak, bk, ck, dsk, delta_bias=biask,
+                    delta_softplus=True
+                ),
+                in_axes=(1, 1, 1, 1, 0, 0, 0),
+                out_axes=1,
+            )(
+                xs, dts, bs, cs, As, ds, dt_projs_bias
+            )  # (B, K, D, L)
 
         y0 = y[:, 0]
         inv = y[:, 2:4][..., ::-1]

@@ -35,11 +35,25 @@ def _combine(x, y):
 def _scan_bldn(a, b):
     """First-order scan over axis 1 of (B, L, D, N) tensors, via the Pallas
     chunked kernel on TPU (ops/pallas/scan.py) with custom VJP, or
-    associative_scan elsewhere."""
+    associative_scan elsewhere.
+
+    Under an active parallel.seq_scan.sequence_sharding(mesh) context the L
+    axis is sharded over the mesh's seq axis and completed with the
+    carry-exchange collective (SURVEY §5.7) — the distributed analogue of
+    the reference CUDA kernel's inter-chunk prefix
+    (selective_scan_oflex_rh.cpp:225)."""
     from accunet_tpu.ops.pallas.scan import chunked_linear_scan
+    from accunet_tpu.parallel import seq_scan
 
     bb, l, d, n = a.shape
-    h = chunked_linear_scan(a.reshape(bb, l, d * n), b.reshape(bb, l, d * n))
+    a2, b2 = a.reshape(bb, l, d * n), b.reshape(bb, l, d * n)
+    ctx = seq_scan.active()
+    if ctx is not None:
+        mesh, axis = ctx
+        if l % mesh.shape[axis] == 0:
+            h = seq_scan.shard_mapped_scan(a2, b2, mesh, axis)
+            return h.reshape(bb, l, d, n)
+    h = chunked_linear_scan(a2, b2)
     return h.reshape(bb, l, d, n)
 
 

@@ -58,8 +58,22 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch (pytree of arrays, leading batch dim) onto the mesh
-    sharded over the `data` axis."""
+    sharded over the `data` axis.
+
+    Single-process: a plain device_put. Multi-process (jax.distributed
+    initialized, the mesh spans hosts): each process holds only ITS slice of
+    the global batch (the loader shards by process_index), so the global
+    array is assembled from the per-process local shards — the multi-host DP
+    input path (SURVEY §5.8)."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        import numpy as np
+
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
@@ -73,10 +87,10 @@ def param_sharding_rules(mesh: Mesh, min_weight_size: int = 2 ** 18):
     """
     model_size = mesh.shape["model"]
 
-    def rule(path, x):
+    def leaf(x):
         if (
             model_size > 1
-            and x.ndim >= 2
+            and getattr(x, "ndim", 0) >= 2
             and x.size >= min_weight_size
             and x.shape[-1] % model_size == 0
         ):
@@ -85,6 +99,9 @@ def param_sharding_rules(mesh: Mesh, min_weight_size: int = 2 ** 18):
         return NamedSharding(mesh, P())
 
     def apply(params):
-        return jax.tree_util.tree_map_with_path(rule, params)
+        return jax.tree_util.tree_map(leaf, params)
 
+    # per-leaf rule, for trees that are not the params tree itself (e.g.
+    # optimizer states whose mu/nu mirror the params shapes)
+    apply.leaf = leaf
     return apply

@@ -21,9 +21,53 @@ Use inside shard_map with the `seq` mesh axis mapping the L dimension.
 
 from __future__ import annotations
 
+import contextlib
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.sharding import PartitionSpec as P
+
+# --- opt-in model integration -------------------------------------------
+# `with sequence_sharding(mesh):` around a model call (or its jit tracing)
+# makes every selective-scan core (ops/selective_scan.py:_scan_bldn) run the
+# L axis through shard_map(sequence_parallel_scan) over the mesh's `seq`
+# axis. Everything around the scan stays a global pjit program — XLA moves
+# the data to/from the P(None, 'seq', None) layout at the shard_map
+# boundary; the scan itself is the only op that is sequential in L.
+_ACTIVE: list = []
+
+
+@contextlib.contextmanager
+def sequence_sharding(mesh, axis_name: str = "seq"):
+    """Activate sequence-parallel selective scans for model calls traced
+    inside this context. `mesh` must carry `axis_name`."""
+    _ACTIVE.append((mesh, axis_name))
+    try:
+        yield
+    finally:
+        _ACTIVE.pop()
+
+
+def active():
+    """(mesh, axis_name) of the innermost sequence_sharding context, else
+    None."""
+    return _ACTIVE[-1] if _ACTIVE else None
+
+
+def shard_mapped_scan(a, b, mesh, axis_name: str = "seq"):
+    """Run sequence_parallel_scan over global (B, L, D) arrays by sharding
+    L across `axis_name` of `mesh`. Composes with an enclosing jit."""
+    from jax.experimental.shard_map import shard_map
+
+    fn = shard_map(
+        functools.partial(sequence_parallel_scan, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None), P(None, axis_name, None)),
+        out_specs=P(None, axis_name, None),
+    )
+    return fn(a, b)
 
 
 def sequence_parallel_scan(a, b, axis_name: str = "seq"):

@@ -58,6 +58,34 @@ def _worker_main(spec: dict) -> dict:
 
     sys.path.insert(0, REPO)
 
+    if spec["kind"] == "ssmblock":
+        # BASELINE config 5, block reading: a full SpatialMambaBlock (CPE
+        # dwconvs + LayerNorms + StructureAwareSSM with the chunked Pallas
+        # scan + state fusion + FFN) at the stage-1 geometry, img/s.
+        from accunet_tpu.nn.ssm import SpatialMambaBlock
+
+        b, hw, c, steps = 8, 56, 64, spec["steps"]
+        model = SpatialMambaBlock(hidden_dim=c, d_state=16)
+        x = jax.random.normal(jax.random.PRNGKey(0), (b, hw, hw, c),
+                              jnp.float32)
+        variables = jax.jit(lambda: model.init(jax.random.PRNGKey(1), x))()
+
+        @jax.jit
+        def chained(v, x):
+            def body(_, carry):
+                x, tot = carry
+                y = model.apply(v, x + (1e-9 * tot).astype(x.dtype))
+                return x, tot + y[:, ::8, ::8].mean()
+
+            _, tot = jax.lax.fori_loop(0, steps, body, (x, jnp.float32(0)))
+            return tot
+
+        float(chained(variables, x))  # compile + warm
+        t0 = time.perf_counter()
+        float(chained(variables, x))
+        dt = time.perf_counter() - t0
+        return {"ok": True, "ips": b * steps / dt, "batch": b}
+
     if spec["kind"] == "scan":
         # BASELINE config 5: the selective-scan Pallas chunked-scan block at
         # the SpatialMamba shape (B, L=56*56, D=d_inner*d_state). Reports
@@ -311,8 +339,10 @@ def main():
                        deadline, args.attempt_timeout, errors, state)
         if ips:
             extras["ACC_UNet_Lite_infer_b8"] = round(ips, 1)
-        # BASELINE config 2: full ACC-UNet (16.77M) train step, BCE+Dice, b8
-        ips = _measure(spec("train", "ACC_UNet", 8, 16),
+        # BASELINE config 2: full ACC-UNet (16.77M) train step, BCE+Dice, b8.
+        # s2d=2: the frame is exact in training too (grad-parity test in
+        # tests/test_s2d.py) and measured +20% (ROOFLINE §15.2).
+        ips = _measure(spec("train", "ACC_UNet", 8, 16, 2),
                        deadline, args.attempt_timeout, errors, state)
         if ips:
             extras["ACC_UNet_train_b8"] = round(ips, 1)
@@ -330,6 +360,12 @@ def main():
                        deadline, args.attempt_timeout, errors, state)
         if ips:
             extras["selective_scan_Mtok_s"] = round(ips / 1e6, 1)
+        # config 5, end-to-end block reading: whole SpatialMambaBlock img/s
+        ips = _measure(spec("ssmblock", "SpatialMambaBlock", 8, 32,
+                            cap_steps=False),
+                       deadline, args.attempt_timeout, errors, state)
+        if ips:
+            extras["spatialmamba_block_img_s"] = round(ips, 1)
 
     result = {
         "metric": (f"{args.model} {args.img}x{args.img} {args.dtype} "

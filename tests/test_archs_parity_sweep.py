@@ -283,6 +283,59 @@ def test_haar_wavelet_pool_parity():
     _close(got, want.numpy())
 
 
+@pytest.mark.parametrize(
+    "lo,hi",
+    [
+        ([2.0 ** -0.5, 2.0 ** -0.5], [-(2.0 ** -0.5), 2.0 ** -0.5]),  # Haar
+        ([0.55, 0.83], [-0.8, 0.6]),  # trained-away, asymmetric (flip test)
+    ],
+)
+def test_adaptive_wavelet_pool_parity(lo, hi):
+    """AdaptiveWaveletPool2d (wavelet_pool2d.py:105-130) — VERDICT r3
+    missing #5. The class is instantiated nowhere in the reference tree, so
+    parity is pinned at the class level at the family's used geometry
+    (filt_len=2, scales=1), with a learnable Haar-init wavelet stub AND an
+    asymmetric filter set that catches the flip=True convolution
+    semantics."""
+    import torch
+
+    m = _ref_archs("wavelet_pool2d")
+
+    class _LearnableWavelet(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.dec_lo = torch.nn.Parameter(torch.tensor(lo))
+            self.dec_hi = torch.nn.Parameter(torch.tensor(hi))
+            self.rec_lo = torch.nn.Parameter(torch.tensor(lo))
+            self.rec_hi = torch.nn.Parameter(torch.tensor(list(reversed(hi))))
+
+        @property
+        def filter_bank(self):
+            return (self.dec_lo, self.dec_hi, self.rec_lo, self.rec_hi)
+
+        def wavelet_loss(self):
+            return torch.zeros(())
+
+    ref = m.AdaptiveWaveletPool2d(
+        wavelet=_LearnableWavelet(), use_scale_weights=True, scales=1)
+    x = np.random.RandomState(10).rand(2, 5, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x))
+
+    from accunet_tpu.nn.cmrf_blocks import AdaptiveWaveletPool2d
+
+    ours = AdaptiveWaveletPool2d()
+    params = {
+        "params": {
+            "dec_lo": jnp.asarray(lo),
+            "dec_hi": jnp.asarray(hi),
+            "scales_weights": jnp.ones((1,)),
+        }
+    }
+    got = from_nhwc(np.asarray(ours.apply(params, jnp.asarray(to_nhwc(x)))))
+    _close(got, want.numpy())
+
+
 # ------------------------------------------------------------ inceptionnext
 
 

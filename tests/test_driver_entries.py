@@ -73,6 +73,7 @@ def test_bench_reports_headline_and_extras():
         "ACC_UNet_W_mc512_infer_b2": 12345600.0,
         # the scan extra reports millions of tokens/sec (ips / 1e6)
         "selective_scan_Mtok_s": 12.3,
+        "spatialmamba_block_img_s": 12345600.0,
     }
     assert "error" not in result
 

@@ -156,6 +156,43 @@ def test_hancblock_s2d_wide_interior_matches():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
 
 
+def test_acc_unet_s2d_train_grads_match():
+    """Gradients through the frame equal the standard-layout gradients.
+
+    Justifies running BASELINE config 2 (the ACC-UNet train step) with
+    s2d_levels=2 in bench.py: the frame is a pure re-layout, so the whole
+    fwd+bwd train step is numerically the standard one (fp reassociation
+    tolerance only)."""
+    from accunet_tpu.models.acc_unet import ACCUNet
+    from accunet_tpu.train import losses as L
+
+    x = _rand(22, (2, 16, 16, 3))
+    y = (jax.random.uniform(jax.random.PRNGKey(23), (2, 16, 16, 1)) > 0.5
+         ).astype(jnp.float32)
+    std = ACCUNet(3, 1, n_filts=8)
+    fast = ACCUNet(3, 1, n_filts=8, s2d_levels=2)
+    var = std.init(jax.random.PRNGKey(0), x)
+
+    def loss(model, p, bstats):
+        out, upd = model.apply(
+            {"params": p, "batch_stats": bstats}, x, train=True,
+            mutable=["batch_stats"],
+        )
+        return L.weighted_dice_bce(out, y)
+
+    l_std, g_std = jax.value_and_grad(lambda p: loss(std, p, var["batch_stats"]))(
+        var["params"])
+    l_fast, g_fast = jax.value_and_grad(
+        lambda p: loss(fast, p, var["batch_stats"]))(var["params"])
+    np.testing.assert_allclose(float(l_std), float(l_fast), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+        ),
+        g_std, g_fast,
+    )
+
+
 def test_acc_unet_s2d_train_stats_match():
     """BN batch statistics computed through the frame equal the standard ones."""
     from accunet_tpu.models.acc_unet import ACCUNet

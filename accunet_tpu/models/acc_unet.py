@@ -17,6 +17,7 @@ n_classes+1 channels.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -107,15 +108,24 @@ class ACCUNet(nn.Module):
         x2 = hanc(self.n_channels, f, 3, 3, "cnv11", lv=1)(x1, train)
         x2 = hanc(f, f, 3, 3, "cnv12", lv=1)(x2, train)
 
-        p2 = s2d.max_positions(x2) if s2d_lv >= 1 else max_pool2d(x2, 2)
-        if s2d_lv >= 2:
-            p2 = s2d.pack(p2)
+        # frame->frame pooled pack in one fusion (ROOFLINE §13.4 glue lever;
+        # bitwise-equal to pack(max_positions(x)); ACCUNET_FUSED_POOL_PACK=0
+        # restores the two-op form for A/B)
+        fpp = os.environ.get("ACCUNET_FUSED_POOL_PACK", "1") != "0"
+
+        def pool_to(lv_next, x):
+            if s2d_lv >= lv_next:
+                return (s2d.max_positions_pack(x) if fpp
+                        else s2d.pack(s2d.max_positions(x)))
+            if s2d_lv >= lv_next - 1:
+                return s2d.max_positions(x)
+            return max_pool2d(x, 2)
+
+        p2 = pool_to(2, x2)
         x3 = hanc(f, f * 2, 3, 3, "cnv21", lv=2)(p2, train)
         x3 = hanc(f * 2, f * 2, 3, 3, "cnv22", lv=2)(x3, train)
 
-        p3 = s2d.max_positions(x3) if s2d_lv >= 2 else max_pool2d(x3, 2)
-        if s2d_lv >= 3:
-            p3 = s2d.pack(p3)
+        p3 = pool_to(3, x3)
         x4 = hanc(f * 2, f * 4, 3, 3, "cnv31", lv=3)(p3, train)
         x4 = hanc(f * 4, f * 4, 3, 3, "cnv32", lv=3)(x4, train)
         p4 = s2d.max_positions(x4) if s2d_lv >= 3 else max_pool2d(x4, 2)

@@ -654,7 +654,7 @@ class _MLFCFusedConv(nn.Module):
             wj = w[offs[src] : offs[src + 1]].astype(t.dtype)
             term = jax.lax.dot_general(
                 t, wj, (((t.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.promote_types(t.dtype, jnp.float32),
             ).astype(t.dtype)
             if src > lvl:  # matmul at source res, then upsample
                 term = upsample_nearest(term, 2 ** (src - lvl))

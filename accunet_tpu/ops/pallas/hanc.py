@@ -44,7 +44,7 @@ def _xla_hanc_mix(x, w, bias, k):
     def mix(t, j):
         out = jax.lax.dot_general(
             t, w[:, j, :].astype(t.dtype), (((t.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.promote_types(t.dtype, jnp.float32),
         )
         return out.astype(t.dtype)
 

@@ -59,7 +59,7 @@ def _scan_kernel(a_ref, b_ref, h_ref, carry_ref, *, chunk: int):
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
-def _chunked_scan_fwd(a, b, chunk: int = 256, interpret: bool = False):
+def _chunked_scan_fwd(a, b, chunk: int = 128, interpret: bool = False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

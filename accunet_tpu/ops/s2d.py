@@ -36,6 +36,12 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _acc_type(dtype):
+    """Matmul accumulator/output type: f32 for bf16/f32 inputs (the TPU MXU
+    path), but promoted for f64 so float64 parity runs stay float64."""
+    return jnp.promote_types(dtype, jnp.float32)
+
+
 def pack(x: jax.Array) -> jax.Array:
     """(B, H, W, C) -> (B, H/2, W/2, 4C), position-major."""
     b, h, w, c = x.shape
@@ -73,6 +79,20 @@ def max_positions(xf: jax.Array) -> jax.Array:
     """Frame -> NORMAL half-res map: 2x2 max pool of the logical map."""
     q = _pos_blocks(xf)
     return jnp.maximum(jnp.maximum(q[0], q[1]), jnp.maximum(q[2], q[3]))
+
+
+def max_positions_pack(xf: jax.Array) -> jax.Array:
+    """Frame level-k -> frame level-(k+1) in ONE op chain: 2x2 max pool of
+    the logical map (the position-block maxima) re-packed into the next
+    frame level. Equals pack(max_positions(xf)) — ROOFLINE §13.4, fusing
+    the boundary reshape/transpose pair into a single XLA fusion instead of
+    a materialized half-res NHWC intermediate."""
+    b, h, w, c4 = xf.shape
+    c = c4 // 4
+    q = _pos_blocks(xf)
+    m = jnp.maximum(jnp.maximum(q[0], q[1]), jnp.maximum(q[2], q[3]))
+    y = m.reshape(b, h // 2, 2, w // 2, 2, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
 
 
 def broadcast_positions(x: jax.Array) -> jax.Array:
@@ -140,7 +160,7 @@ def conv1x1(xf: jax.Array, w: jax.Array, bias: jax.Array | None = None) -> jax.A
         wd = wd.at[p, :, p, :].set(wt)
     y = lax.dot_general(
         xf, wd.reshape(4 * c, 4 * o), (((3,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_acc_type(xf.dtype),
     ).astype(xf.dtype)
     if bias is not None:
         y = y + tile4(bias).astype(y.dtype)
@@ -153,7 +173,7 @@ def conv1x1_blocked(xf: jax.Array, w: jax.Array, bias: jax.Array | None = None) 
     outs = []
     for q in _pos_blocks(xf):
         y = lax.dot_general(
-            q, wt, (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            q, wt, (((3,), (0,)), ((), ())), preferred_element_type=_acc_type(xf.dtype)
         ).astype(xf.dtype)
         if bias is not None:
             y = y + bias.astype(y.dtype)
@@ -211,7 +231,7 @@ def conv_transpose_2x2_to_frame(x: jax.Array, w: jax.Array, bias: jax.Array | No
         di, dj = po // 2, po % 2
         y = lax.dot_general(
             x, w[di, dj].astype(x.dtype), (((3,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_acc_type(x.dtype),
         ).astype(x.dtype)
         if bias is not None:
             y = y + bias.astype(y.dtype)
@@ -243,7 +263,7 @@ def hanc_mix_frame(xf: jax.Array, w: jax.Array, bias: jax.Array, k: int) -> jax.
     def mix(t, j):
         out = lax.dot_general(
             t, w[:, j, :].astype(t.dtype), (((t.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_acc_type(t.dtype),
         )
         return out.astype(t.dtype)
 

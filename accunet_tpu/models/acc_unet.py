@@ -96,16 +96,24 @@ class ACCUNet(nn.Module):
         else:
             block_cls, respath_cls, mlfc_cls = HANCBlock, ResPath, MLFC
 
-        def hanc(n_in, n_out, k, inv, name, lv=0):
+        # SE-chain the same-level fused block pairs (ROOFLINE §13.2/§13.4):
+        # the first block of a pair defers its SE apply into the second
+        # block's in-VMEM input read, eliminating the concat+SE XLA boundary
+        # pass. Engages only when the fused kernel dispatches (eval, TPU);
+        # ACCUNET_SE_CHAIN=0 restores the unchained form for A/B.
+        se_chain = os.environ.get("ACCUNET_SE_CHAIN", "1") != "0"
+
+        def hanc(n_in, n_out, k, inv, name, lv=0, defer=False):
             layout = "s2d" if s2d_lv >= lv > 0 else "nhwc"
             return block_cls(
-                n_in, n_out, k=k, inv_fctr=inv, dtype=dt, layout=layout, name=name
+                n_in, n_out, k=k, inv_fctr=inv, dtype=dt, layout=layout,
+                defer_se=defer and se_chain and layout == "s2d", name=name
             )
 
         lay = lambda lv: "s2d" if s2d_lv >= lv > 0 else "nhwc"
 
         x1 = s2d.pack(x) if s2d_lv >= 1 else x
-        x2 = hanc(self.n_channels, f, 3, 3, "cnv11", lv=1)(x1, train)
+        x2 = hanc(self.n_channels, f, 3, 3, "cnv11", lv=1, defer=True)(x1, train)
         x2 = hanc(f, f, 3, 3, "cnv12", lv=1)(x2, train)
 
         # frame->frame pooled pack in one fusion (ROOFLINE §13.4 glue lever;
@@ -122,11 +130,11 @@ class ACCUNet(nn.Module):
             return max_pool2d(x, 2)
 
         p2 = pool_to(2, x2)
-        x3 = hanc(f, f * 2, 3, 3, "cnv21", lv=2)(p2, train)
+        x3 = hanc(f, f * 2, 3, 3, "cnv21", lv=2, defer=True)(p2, train)
         x3 = hanc(f * 2, f * 2, 3, 3, "cnv22", lv=2)(x3, train)
 
         p3 = pool_to(3, x3)
-        x4 = hanc(f * 2, f * 4, 3, 3, "cnv31", lv=3)(p3, train)
+        x4 = hanc(f * 2, f * 4, 3, 3, "cnv31", lv=3, defer=True)(p3, train)
         x4 = hanc(f * 4, f * 4, 3, 3, "cnv32", lv=3)(x4, train)
         p4 = s2d.max_positions(x4) if s2d_lv >= 3 else max_pool2d(x4, 2)
         x5 = hanc(f * 4, f * 8, 2, 3, "cnv41")(p4, train)
@@ -147,19 +155,27 @@ class ACCUNet(nn.Module):
                     filts, 1, mode, dt, layouts=layouts, name=name
                 )(x2, x3, x4, x5, train)
         else:
-            # full/w MLFC does cross-level resampling — run it in the
-            # standard layout (unpack/repack once around the stack)
-            if s2d_lv >= 1:
+            # full/w MLFC: cross-level resampling runs in the standard
+            # layout for levels 2-4, but the (dominant) level-1 map stays in
+            # the frame end-to-end (ROOFLINE §17: the three MLFC stacks are
+            # 38% of the ACC_UNet_W 512² step, led by level-1 traffic).
+            # ACCUNET_MLFC_FRAME=0 restores the unpack-around-the-stack
+            # form for A/B.
+            mlfc_frame = s2d_lv >= 1 and os.environ.get(
+                "ACCUNET_MLFC_FRAME", "1"
+            ) != "0"
+            if s2d_lv >= 1 and not mlfc_frame:
                 x2 = s2d.unpack(x2)
             if s2d_lv >= 2:
                 x3 = s2d.unpack(x3)
             if s2d_lv >= 3:
                 x4 = s2d.unpack(x4)
+            layouts = ("s2d" if mlfc_frame else "nhwc", "nhwc", "nhwc", "nhwc")
             for name in ("mlfc1", "mlfc2", "mlfc3"):
-                x2, x3, x4, x5 = mlfc_cls(filts, 1, mode, dt, name=name)(
-                    x2, x3, x4, x5, train
-                )
-            if s2d_lv >= 1:
+                x2, x3, x4, x5 = mlfc_cls(
+                    filts, 1, mode, dt, layouts=layouts, name=name
+                )(x2, x3, x4, x5, train)
+            if s2d_lv >= 1 and not mlfc_frame:
                 x2 = s2d.pack(x2)
             if s2d_lv >= 2:
                 x3 = s2d.pack(x3)
@@ -174,7 +190,7 @@ class ACCUNet(nn.Module):
             f * 8, f * 4, dt, to_frame=s2d_lv >= 3, name="up7"
         )(x7)
         cat = s2d.concat_channels(x8, x4) if s2d_lv >= 3 else jnp.concatenate([x8, x4], -1)
-        x8 = hanc(f * 8, f * 4, 3, 3, "cnv71", lv=3)(cat, train)
+        x8 = hanc(f * 8, f * 4, 3, 3, "cnv71", lv=3, defer=True)(cat, train)
         x8 = hanc(
             f * 4, f * 4, 3, 34 if self.wide_decoder_block else 3, "cnv72", lv=3
         )(x8, train)
@@ -185,7 +201,7 @@ class ACCUNet(nn.Module):
             f * 4, f * 2, dt, to_frame=s2d_lv >= 2, name="up8"
         )(x8)
         cat = s2d.concat_channels(x9, x3) if s2d_lv >= 2 else jnp.concatenate([x9, x3], -1)
-        x9 = hanc(f * 4, f * 2, 3, 3, "cnv81", lv=2)(cat, train)
+        x9 = hanc(f * 4, f * 2, 3, 3, "cnv81", lv=2, defer=True)(cat, train)
         x9 = hanc(f * 2, f * 2, 3, 3, "cnv82", lv=2)(x9, train)
 
         if s2d_lv >= 2:
@@ -194,7 +210,7 @@ class ACCUNet(nn.Module):
             f * 2, f, dt, to_frame=s2d_lv >= 1, name="up9"
         )(x9)
         cat = s2d.concat_channels(x10, x2) if s2d_lv >= 1 else jnp.concatenate([x10, x2], -1)
-        x10 = hanc(f * 2, f, 3, 3, "cnv91", lv=1)(cat, train)
+        x10 = hanc(f * 2, f, 3, 3, "cnv91", lv=1, defer=True)(cat, train)
         x10 = hanc(f, f, 3, 3, "cnv92", lv=1)(x10, train)
 
         out_ch = self.n_classes if self.n_classes == 1 else self.n_classes + 1

@@ -22,7 +22,7 @@ checkpoint porting (accunet_tpu.port) is mechanical.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +42,28 @@ Dtype = Any
 
 def lrelu(x):
     return jax.nn.leaky_relu(x, 0.01)
+
+
+class DeferredSE(NamedTuple):
+    """A fused HANCBlock's output with its trailing SE apply DEFERRED
+    (ROOFLINE §13.2/§13.4): the four raw position-block outputs (pre-SE)
+    plus the per-image gate*bn_scale and bn_shift vectors.  The next chained
+    fused block applies lrelu(x*gs + tb) on its staged rows in VMEM; any
+    non-fused consumer reassembles via `deferred_se_apply` (one XLA pass —
+    exactly the boundary pass the chain elides)."""
+
+    parts: tuple  # 4 x (B, Hf, Wf, C)
+    gs: jax.Array  # (B, C) fp32 — sigmoid gate * folded SE-BN scale
+    tb: jax.Array  # (C,)  fp32 — folded SE-BN shift
+
+
+def deferred_se_apply(d: DeferredSE) -> jax.Array:
+    """XLA fallback: concat the position blocks and apply the deferred SE
+    (identical to the unchained boundary pass)."""
+    x = jnp.concatenate(d.parts, axis=-1)
+    gs4 = jnp.tile(d.gs, (1, 4))[:, None, None, :].astype(x.dtype)
+    tb4 = jnp.tile(d.tb, 4).astype(x.dtype)
+    return lrelu(x * gs4 + tb4)
 
 
 class BatchNorm(nn.Module):
@@ -306,16 +328,33 @@ class Conv2dBatchnorm(nn.Module):
     num_out_filters: int
     kernel_size: tuple[int, int] = (1, 1)
     dtype: Dtype = jnp.float32
+    layout: str = "nhwc"  # 's2d': input/output in the frame (1x1 kernels only)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            self.num_out_filters, self.kernel_size, padding="SAME",
-            dtype=self.dtype, name="conv1",
-        )(x)
-        x = batch_norm(x, train, self.dtype, name="batchnorm")
+        if self.layout == "s2d":
+            assert self.kernel_size == (1, 1)
+            from accunet_tpu.ops import s2d
+
+            kernel, bias = _Conv1x1Params(
+                x.shape[-1] // 4, self.num_out_filters, name="conv1"
+            )()
+            x = s2d.conv1x1(
+                x.astype(self.dtype),
+                kernel[0, 0].astype(self.dtype),
+                bias.astype(self.dtype),
+            )
+            x = batch_norm_frame(x, train, self.dtype, name="batchnorm")
+        else:
+            x = nn.Conv(
+                self.num_out_filters, self.kernel_size, padding="SAME",
+                dtype=self.dtype, name="conv1",
+            )(x)
+            x = batch_norm(x, train, self.dtype, name="batchnorm")
         x = lrelu(x)
-        return ChannelSELayer(self.num_out_filters, self.dtype, name="sqe")(x, train)
+        return ChannelSELayer(
+            self.num_out_filters, self.dtype, layout=self.layout, name="sqe"
+        )(x, train)
 
 
 class HANCBlock(nn.Module):
@@ -326,12 +365,17 @@ class HANCBlock(nn.Module):
     dtype: Dtype = jnp.float32
     layout: str = "nhwc"
     fuse: str = "auto"  # 'auto' | 'force' | 'off' — fused inference kernel
+    defer_se: bool = False  # return DeferredSE when the fused path engages
+    # (ROOFLINE §13.2/§13.4 chaining — the next same-level fused block
+    # applies this block's SE on its own staged rows in VMEM)
 
     @nn.compact
     def __call__(self, inp, train: bool = False):
         e = self.n_filts * self.inv_fctr
         if self.layout == "s2d":
             return self._call_s2d(inp, train, e)
+        if isinstance(inp, DeferredSE):  # non-frame consumer: XLA fallback
+            inp = deferred_se_apply(inp)
         if not train and self._hybrid_nhwc_ok(inp, e):
             # ROOFLINE §6 hybrid: Pallas fuses the E-wide front half
             # (expand+BN+lrelu+dwconv+BN+lrelu — XLA spends two full HBM
@@ -381,9 +425,13 @@ class HANCBlock(nn.Module):
         is identical in both branches."""
         from accunet_tpu.ops import s2d
 
-        cin = inp.shape[-1] // 4
-        if not train and self._fused_s2d_ok(inp, cin):
+        deferred = isinstance(inp, DeferredSE)
+        probe = inp.parts[0] if deferred else inp  # (B, Hf, Wf, cin|4cin)
+        cin = probe.shape[-1] if deferred else probe.shape[-1] // 4
+        if not train and self._fused_s2d_ok(probe, cin):
             return self._call_s2d_fused(inp, train, e, cin)
+        if deferred:
+            inp = deferred_se_apply(inp)
         k1, b1 = _ConvParams(1, 1, cin, e, name="conv1")()
         x = s2d.conv1x1(inp, k1[0, 0].astype(inp.dtype), b1.astype(inp.dtype))
         x = lrelu(batch_norm_frame(x, train, self.dtype, name="norm1"))
@@ -464,8 +512,21 @@ class HANCBlock(nn.Module):
         sres, tres = _BNParams(self.n_filts, name="norm")()
         k3, b3 = _ConvParams(1, 1, self.n_filts, self.out_channels, name="conv3")()
         s3, t3 = _BNParams(self.out_channels, name="norm3")()
+        call_kw = dict(emit_sums=True)
+        if isinstance(inp, DeferredSE):
+            # chained input: the previous block's SE runs on this kernel's
+            # staged rows (pre = [gate*scale, shift] per image)
+            call_kw["x_parts"] = inp.parts
+            call_kw["pre"] = jnp.stack(
+                [inp.gs, jnp.broadcast_to(inp.tb[None], inp.gs.shape)], axis=1
+            )
+            xf_in = None
+        else:
+            xf_in = inp
+        if self.defer_se:
+            call_kw["emit_parts"] = True
         y, sums = hanc_block_frame(
-            inp, k1[0, 0], b1, kd[:, :, 0, :], bd, wh, bh, k3[0, 0], b3,
+            xf_in, k1[0, 0], b1, kd[:, :, 0, :], bd, wh, bh, k3[0, 0], b3,
             {
                 "norm1": (s1, t1),
                 "norm2": (s2_, t2),
@@ -475,12 +536,26 @@ class HANCBlock(nn.Module):
             },
             self.k,
             interpret=not on_tpu(),
-            emit_sums=True,
+            **call_kw,
         )
         # SE squeeze from the kernel's per-tile channel sums: the global
         # mean never re-reads the (B, Hf, Wf, 4*cout) map from HBM
-        b, hf, wf, _ = y.shape
+        b, hf, wf, _ = (y[0] if self.defer_se else y).shape
         squeezed = sums.sum(axis=(1, 2)) / (4 * hf * wf)
+        if self.defer_se:
+            # gate MLP off the sums (same math as ChannelSELayer with
+            # `squeezed=`), SE-BN folded to an affine — the APPLY is left to
+            # the consumer (in-kernel if it fuses, one XLA pass otherwise)
+            (f1k, f1b), (f2k, f2b), s_se, t_se = _SEParams(
+                self.out_channels, name="sqe"
+            )()
+            dt = y[0].dtype
+            m = squeezed.astype(dt)
+            h = lrelu(m @ f1k.astype(dt) + f1b.astype(dt))
+            g = jax.nn.sigmoid(h @ f2k.astype(dt) + f2b.astype(dt))
+            return DeferredSE(
+                tuple(y), g.astype(jnp.float32) * s_se[None], t_se
+            )
         return ChannelSELayer(
             self.out_channels, self.dtype, layout="s2d", name="sqe"
         )(y, train, squeezed=squeezed)
@@ -634,15 +709,26 @@ class _MLFCFusedConv(nn.Module):
     filts: Sequence[int]
     lvl: int
     dtype: Dtype = jnp.float32
+    layout: str = "nhwc"  # 's2d': lvl-0 only — ins[0] and the output are frames
 
     @nn.compact
     def __call__(self, ins, train: bool = False):
         """`ins[src]`: source src's map already avg-pooled to this level's
         resolution for src <= lvl (the caller pools each source ONCE,
         hierarchically, and shares the pyramid across all four levels), and
-        at native resolution for src > lvl (mixed low-res, then upsampled)."""
+        at native resolution for src > lvl (mixed low-res, then upsampled).
+
+        layout='s2d' (lvl==0): ins[0] is the frame map; the src-0 slice runs
+        as a frame 1x1 (block-diagonal matmul) and each src>0 term is mixed
+        at native res, upsampled to the frame's spatial res, then position-
+        broadcast — the logical nearest-2x upsample. Same math, no full-res
+        NHWC intermediate (ROOFLINE §17)."""
         filts = list(self.filts)
         lvl = self.lvl
+        frame = self.layout == "s2d"
+        if frame:
+            assert lvl == 0
+            from accunet_tpu.ops import s2d
         kernel, bias = _Conv1x1Params(sum(filts), filts[lvl], name="conv1")()
         w = kernel[0, 0]  # (sum(filts), f_lvl)
         offs = [0]
@@ -652,16 +738,29 @@ class _MLFCFusedConv(nn.Module):
         for src in range(4):
             t = ins[src]
             wj = w[offs[src] : offs[src + 1]].astype(t.dtype)
-            term = jax.lax.dot_general(
-                t, wj, (((t.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.promote_types(t.dtype, jnp.float32),
-            ).astype(t.dtype)
-            if src > lvl:  # matmul at source res, then upsample
-                term = upsample_nearest(term, 2 ** (src - lvl))
+            if frame and src == 0:
+                term = s2d.conv1x1(t, wj)
+            else:
+                term = jax.lax.dot_general(
+                    t, wj, (((t.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.promote_types(t.dtype, jnp.float32),
+                ).astype(t.dtype)
+                if frame:  # logical up by 2**src = up to frame res, then tile
+                    if src > 1:
+                        term = upsample_nearest(term, 2 ** (src - 1))
+                    term = s2d.broadcast_positions(term)
+                elif src > lvl:  # matmul at source res, then upsample
+                    term = upsample_nearest(term, 2 ** (src - lvl))
             y = term if y is None else y + term
-        y = y + bias.astype(y.dtype)
-        y = batch_norm(y, train, self.dtype, name="batchnorm")
-        return ChannelSELayer(filts[lvl], self.dtype, name="sqe")(lrelu(y), train)
+        if frame:
+            y = y + s2d.tile4(bias).astype(y.dtype)
+            y = batch_norm_frame(y, train, self.dtype, name="batchnorm")
+        else:
+            y = y + bias.astype(y.dtype)
+            y = batch_norm(y, train, self.dtype, name="batchnorm")
+        return ChannelSELayer(
+            filts[lvl], self.dtype, layout=self.layout, name="sqe"
+        )(lrelu(y), train)
 
 
 class MLFC(nn.Module):
@@ -692,6 +791,21 @@ class MLFC(nn.Module):
         xs = (x1, x2, x3, x4)
         filts = (f1, f2, f3, f4)
 
+        # Level-0 frame layout (ROOFLINE §17): x1 may arrive/leave in the
+        # s2d frame; every lvl-0 op (1x1 convs, BNs, SE, blend) runs on the
+        # frame map and cross-level traffic uses avg_positions /
+        # broadcast_positions at the half resolution. Levels 1-3 stay NHWC.
+        frame0 = self.layouts[0] == "s2d"
+        if frame0:
+            from accunet_tpu.ops import s2d
+
+        def bn_lvl(x, lvl, name):
+            if frame0 and lvl == 0:
+                return batch_norm_frame(x, train, self.dtype, name=name)
+            return batch_norm(x, train, self.dtype, name=name)
+
+        lay = lambda lvl: "s2d" if (frame0 and lvl == 0) else "nhwc"
+
         for i in range(self.lenn):
             # hierarchical avg-pool pyramid per source, shared by all levels
             # (each source map is read once at full resolution instead of
@@ -699,8 +813,13 @@ class MLFC(nn.Module):
             pyr = []
             for src in range(4):
                 maps = [xs[src]]
-                for _ in range(3 - src):
-                    maps.append(avg_pool2d(maps[-1], 2))
+                if src == 0 and frame0:
+                    maps.append(s2d.avg_positions(xs[0]))
+                    for _ in range(2):
+                        maps.append(avg_pool2d(maps[-1], 2))
+                else:
+                    for _ in range(3 - src):
+                        maps.append(avg_pool2d(maps[-1], 2))
                 pyr.append(maps)
 
             fused = []
@@ -709,32 +828,37 @@ class MLFC(nn.Module):
                     pyr[src][lvl - src] if src <= lvl else xs[src]
                     for src in range(4)
                 ]
-                y = _MLFCFusedConv(filts, lvl, self.dtype, name=f"cnv_blks{lvl + 1}_{i}")(
-                    ins, train
-                )
-                y = batch_norm(y, train, self.dtype, name=f"bns{lvl + 1}_{i}")
+                y = _MLFCFusedConv(
+                    filts, lvl, self.dtype, layout=lay(lvl),
+                    name=f"cnv_blks{lvl + 1}_{i}",
+                )(ins, train)
+                y = bn_lvl(y, lvl, f"bns{lvl + 1}_{i}")
                 fused.append(lrelu(y))
 
             merged = []
             for lvl in range(4):
-                cat = interleave_channels(fused[lvl], xs[lvl])
+                if frame0 and lvl == 0:
+                    cat = s2d.interleave_channels_frame(fused[0], xs[0])
+                else:
+                    cat = interleave_channels(fused[lvl], xs[lvl])
                 y = Conv2dBatchnorm(
-                    filts[lvl], (1, 1), self.dtype, name=f"cnv_mrg{lvl + 1}_{i}"
+                    filts[lvl], (1, 1), self.dtype, layout=lay(lvl),
+                    name=f"cnv_mrg{lvl + 1}_{i}",
                 )(cat, train)
                 if self.mode == "w":
                     wb = w_blend.astype(y.dtype)
                     y = y * wb + xs[lvl] * (1 - wb)
                 else:
                     y = y + xs[lvl]
-                y = batch_norm(y, train, self.dtype, name=f"bns_mrg{lvl + 1}_{i}")
+                y = bn_lvl(y, lvl, f"bns_mrg{lvl + 1}_{i}")
                 merged.append(lrelu(y))
             xs = tuple(merged)
 
         out = []
         for lvl in range(4):
             out.append(
-                ChannelSELayer(filts[lvl], self.dtype, name=f"sqe{lvl + 1}")(
-                    xs[lvl], train
-                )
+                ChannelSELayer(
+                    filts[lvl], self.dtype, layout=lay(lvl), name=f"sqe{lvl + 1}"
+                )(xs[lvl], train)
             )
         return tuple(out)

@@ -63,25 +63,59 @@ def _kernel(xa_ref, xb_ref, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
     tile geometry."""
     hi = pl.program_id(1)
     for im in range(gb):
+        # rows [hi*th, hi*th+th+2) of the row-padded frame == logical frame
+        # rows hi*th-1 .. hi*th+th.  Staged as two th-row blocks of the SAME
+        # padded array (xa = tile rows, xb = next tile, of which only the
+        # first 2 halo rows are read) so VMEM holds 2*th rows instead of the
+        # whole image — whole-image staging blew the 16M scoped-vmem limit
+        # inside the full model (24.03M at the cnv91 shapes).
+        xt = jnp.concatenate([xa_ref[im], xb_ref[im][:2]], axis=0)
+        xq = [xt[:, :, p * cin:(p + 1) * cin] for p in range(4)]
         _kernel_one(
-            xa_ref[im], xb_ref[im], w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
+            xq, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
             affe_ref, affn_ref, affc_ref, out_refs, im=im, hi=hi, cin=cin,
             e=e, nf=nf, cout=cout, k=k, th=th, hf=hf, debug_phase=debug_phase,
             emit_sums=emit_sums,
         )
 
 
-def _kernel_one(xa, xb, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
+def _kernel_parts(p0c, p0t, p0b, p1c, p1t, p1b, p2c, p2t, p2b, p3c, p3t, p3b,
+                  pre_ref, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
+                  affe_ref, affn_ref, affc_ref, *out_refs, cin, e, nf, cout,
+                  k, th, hf, gb=1, debug_phase="full", emit_sums=False):
+    """Chained-input variant (ROOFLINE §13.2/§13.4): the block input arrives
+    as the previous fused block's FOUR raw position-block outputs (pre-SE)
+    plus the SE gate*scale / shift vectors; the SE apply (lrelu(x*gs + tb))
+    runs on the staged rows in VMEM, so the whole concat+SE XLA boundary
+    pass between chained blocks disappears.  Halo rows are staged as two
+    1-row blocks with clamped index maps (the clamped duplicate rows are
+    zeroed by the SAME-padding masks post-expand, exactly like the legacy
+    path's zero-pad rows)."""
+    hi = pl.program_id(1)
+    srcs = [(p0t, p0c, p0b), (p1t, p1c, p1b), (p2t, p2c, p2b),
+            (p3t, p3c, p3b)]
+    dt = p0c.dtype
+    for im in range(gb):
+        gs = pre_ref[im, 0].astype(dt)
+        tb = pre_ref[im, 1].astype(dt)
+        xq = []
+        for t_, c_, b_ in srcs:
+            q = jnp.concatenate([t_[im], c_[im], b_[im]], axis=0)
+            q = q * gs + tb
+            xq.append(jnp.maximum(q, q * jnp.asarray(0.01, dt)))
+        _kernel_one(
+            xq, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
+            affe_ref, affn_ref, affc_ref, out_refs, im=im, hi=hi, cin=cin,
+            e=e, nf=nf, cout=cout, k=k, th=th, hf=hf, debug_phase=debug_phase,
+            emit_sums=emit_sums,
+        )
+
+
+def _kernel_one(xq, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
                 affe_ref, affn_ref, affc_ref, out_refs, *, im, hi, cin, e,
                 nf, cout, k, th, hf, debug_phase, emit_sums=False):
-    # rows [hi*th, hi*th+th+2) of the row-padded frame == logical frame rows
-    # hi*th-1 .. hi*th+th.  Staged as two th-row blocks of the SAME padded
-    # array (xa = tile rows, xb = next tile, of which only the first 2 halo
-    # rows are read) so VMEM holds 2*th rows instead of the whole image —
-    # whole-image staging blew the 16M scoped-vmem limit inside the full
-    # model (24.03M at the cnv91 shapes).
-    xt = jnp.concatenate([xa, xb[:2]], axis=0)
-    wf = xt.shape[1]
+    # xq: four (th+2, wf, cin) per-position source arrays (tile rows + halo)
+    wf = xq[0].shape[1]
     w1 = w1_ref[:]           # (cin, e)   BN scale pre-folded (host side)
     wd = wd_ref[:]           # (9, e)     BN scale pre-folded
     affe = affe_ref[:]       # (2, e)   t1, t2 (shift only — scales folded)
@@ -89,7 +123,7 @@ def _kernel_one(xa, xb, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
     affc = affc_ref[:]       # (1, cout)  t3
 
     f32 = jnp.float32
-    dt = xt.dtype
+    dt = xq[0].dtype
 
     def lrelu(t):
         # max(t, 0.01*t) == leaky_relu(t, 0.01); Mosaic lowers maximum on
@@ -109,7 +143,7 @@ def _kernel_one(xa, xb, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
     t1 = affe[0].astype(dt)
     qp = []  # per-position (th+2, wf+2, e), col-padded for the dwconv
     for p in range(4):
-        xpos = xt[:, :, p * cin:(p + 1) * cin]
+        xpos = xq[p]
         y = lax.dot_general(
             xpos.reshape(-1, cin), w1, (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
@@ -205,7 +239,7 @@ def _kernel_one(xa, xb, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
         if acc is not None:
             h = h + acc
         r = lrelu(h + th_).astype(dt)                  # hanc BN shift + lrelu
-        xv = xt[1:1 + th, :, p * cin:(p + 1) * cin]    # residual (nf == cin)
+        xv = xq[p][1:1 + th]                           # residual (nf == cin)
         z = (r + xv) * sres + tres                     # 'norm' BN (no lrelu)
         t = lax.dot_general(
             z.reshape(-1, nf), w3, (((1,), (0,)), ((), ())),
@@ -288,7 +322,8 @@ def pick_gb(b: int, th: int, wf: int, e: int, nf: int, cin: int, k: int) -> int:
 
 def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
                      interpret=False, th=None, gb=None, pad_e=True,
-                     debug_phase="full", emit_sums=False):
+                     debug_phase="full", emit_sums=False,
+                     x_parts=None, pre=None, emit_parts=False):
     """Fused HANCBlock forward (pre-SE) on a frame map.
 
     xf: (B, Hf, Wf, 4*cin) s2d frame.  w1 (cin, e), wd (3, 3, e),
@@ -299,10 +334,24 @@ def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
     or, with ``emit_sums``, a (frame, sums) pair where sums is
     (B, Hf/th, 4, cout) fp32 per-tile/per-position channel sums of the
     output so the trailing SE's global mean never re-reads the map.
+
+    Chaining (ROOFLINE §13.2/§13.4): ``x_parts`` (4 x (B, Hf, Wf, cin), the
+    previous fused block's raw position outputs) + ``pre`` ((B, 2, cin)
+    fp32: [gate*se_scale, se_shift] rows) replace ``xf`` — the previous
+    block's SE apply runs on this kernel's staged rows in VMEM.
+    ``emit_parts`` returns (parts, sums) instead of the concatenated frame
+    so the NEXT chained block can consume the raw outputs (requires
+    emit_sums).
     """
     assert not (emit_sums and debug_phase != "full")
-    b, hf, wf, c4 = xf.shape
-    cin = c4 // 4
+    assert not (emit_parts and not emit_sums)
+    assert (x_parts is None) == (pre is None)
+    if x_parts is not None:
+        b, hf, wf, cin = x_parts[0].shape
+        c4 = 4 * cin
+    else:
+        b, hf, wf, c4 = xf.shape
+        cin = c4 // 4
     e = w1.shape[1]
     nf = w3.shape[0]
     cout = w3.shape[1]
@@ -363,8 +412,7 @@ def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
     affn = jnp.stack([th_, sres, tres])           # (3, nf) fp32
     affc = t3[None]                               # (1, cout) fp32
 
-    dt = xf.dtype
-    xpad = jnp.pad(xf, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    dt = xf.dtype if x_parts is None else x_parts[0].dtype
     w1k = (w1 * s1[None, :]).astype(dt)
     wdk = (wd.reshape(9, e) * s2[None, :]).astype(dt)
     whk = (jnp.transpose(wh, (1, 0, 2)) * sh_[None, None, :]).astype(dt)
@@ -409,31 +457,69 @@ def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
         )
 
     grid = (b // gb, hf // th)
-    outs = pl.pallas_call(
-        functools.partial(_kernel, cin=cin, e=e, nf=nf, cout=cout, k=k,
-                          th=th, hf=hf, gb=gb, debug_phase=debug_phase,
-                          emit_sums=emit_sums),
-        grid=grid,
-        in_specs=[
-            # row-padded input, staged twice: the tile's th rows and the next
-            # block (first 2 rows = bottom halo; the hi+1 == Hf/th block runs
-            # past the array end — Pallas pads, and only its in-range first
-            # two rows are read)
-            pl.BlockSpec((gb, th, wf, 4 * cin), lambda bi, hi: (bi, hi, 0, 0)),
-            pl.BlockSpec((gb, th, wf, 4 * cin), lambda bi, hi: (bi, hi + 1, 0, 0)),
-            pl.BlockSpec((cin, e), lambda bi, hi: (0, 0)),
-            pl.BlockSpec((9, e), lambda bi, hi: (0, 0)),
-            pl.BlockSpec(wh0k.shape, lambda bi, hi: (0, 0)),
-            pl.BlockSpec(whpk.shape, lambda bi, hi: (0, 0, 0)),
-            pl.BlockSpec((nf, cout), lambda bi, hi: (0, 0)),
-            pl.BlockSpec((2, e), lambda bi, hi: (0, 0)),
-            pl.BlockSpec((3, nf), lambda bi, hi: (0, 0)),
-            pl.BlockSpec((1, cout), lambda bi, hi: (0, 0)),
-        ],
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(xpad, xpad, w1k, wdk, wh0k, whpk, w3k, affe, affn, affc)
+    weight_specs = [
+        pl.BlockSpec((cin, e), lambda bi, hi: (0, 0)),
+        pl.BlockSpec((9, e), lambda bi, hi: (0, 0)),
+        pl.BlockSpec(wh0k.shape, lambda bi, hi: (0, 0)),
+        pl.BlockSpec(whpk.shape, lambda bi, hi: (0, 0, 0)),
+        pl.BlockSpec((nf, cout), lambda bi, hi: (0, 0)),
+        pl.BlockSpec((2, e), lambda bi, hi: (0, 0)),
+        pl.BlockSpec((3, nf), lambda bi, hi: (0, 0)),
+        pl.BlockSpec((1, cout), lambda bi, hi: (0, 0)),
+    ]
+    weights = (w1k, wdk, wh0k, whpk, w3k, affe, affn, affc)
+    if x_parts is not None:
+        # per position: the th tile rows + two 1-row halo blocks with
+        # CLAMPED index maps (row -1 / row Hf read rows 0 / Hf-1; the
+        # duplicate data is zeroed by the post-expand SAME-padding masks)
+        part_specs, part_args = [], []
+        for p in range(4):
+            part_specs += [
+                pl.BlockSpec((gb, th, wf, cin), lambda bi, hi: (bi, hi, 0, 0)),
+                pl.BlockSpec(
+                    (gb, 1, wf, cin),
+                    lambda bi, hi: (bi, jnp.maximum(hi * th - 1, 0), 0, 0),
+                ),
+                pl.BlockSpec(
+                    (gb, 1, wf, cin),
+                    lambda bi, hi: (bi, jnp.minimum(hi * th + th, hf - 1), 0, 0),
+                ),
+            ]
+            part_args += [x_parts[p]] * 3
+        pre_arr = pre.astype(jnp.float32)
+        outs = pl.pallas_call(
+            functools.partial(_kernel_parts, cin=cin, e=e, nf=nf, cout=cout,
+                              k=k, th=th, hf=hf, gb=gb,
+                              debug_phase=debug_phase, emit_sums=emit_sums),
+            grid=grid,
+            in_specs=part_specs
+            + [pl.BlockSpec((gb, 2, cin), lambda bi, hi: (bi, 0, 0))]
+            + weight_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*part_args, pre_arr, *weights)
+    else:
+        xpad = jnp.pad(xf, ((0, 0), (1, 1), (0, 0), (0, 0)))
+        outs = pl.pallas_call(
+            functools.partial(_kernel, cin=cin, e=e, nf=nf, cout=cout, k=k,
+                              th=th, hf=hf, gb=gb, debug_phase=debug_phase,
+                              emit_sums=emit_sums),
+            grid=grid,
+            in_specs=[
+                # row-padded input, staged twice: the tile's th rows and the
+                # next block (first 2 rows = bottom halo; the hi+1 == Hf/th
+                # block runs past the array end — Pallas pads, and only its
+                # in-range first two rows are read)
+                pl.BlockSpec((gb, th, wf, 4 * cin), lambda bi, hi: (bi, hi, 0, 0)),
+                pl.BlockSpec((gb, th, wf, 4 * cin), lambda bi, hi: (bi, hi + 1, 0, 0)),
+            ] + weight_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(xpad, xpad, *weights)
+    if emit_parts:
+        return tuple(outs[:4]), outs[4]
     frame = jnp.concatenate(outs[:4], axis=-1)
     if emit_sums:
         return frame, outs[4]

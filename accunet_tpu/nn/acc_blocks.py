@@ -41,7 +41,12 @@ Dtype = Any
 
 
 def lrelu(x):
-    return jax.nn.leaky_relu(x, 0.01)
+    # Inline max form, not jax.nn.leaky_relu: the jax.nn version is itself
+    # @jax.jit-wrapped, and the resulting closed_call boundary showed up in
+    # device traces as a real unfused 'copy' pass over the E-wide interior
+    # (0.91 ms on cnv72's 285 MB map at the W-512 geometry, ROOFLINE §19).
+    # maximum(x, 0.01x) is value-identical for alpha in (0, 1).
+    return jnp.maximum(x, x * jnp.asarray(0.01, x.dtype))
 
 
 class DeferredSE(NamedTuple):

@@ -43,9 +43,12 @@ Dtype = Any
 def lrelu(x):
     # Inline max form, not jax.nn.leaky_relu: the jax.nn version is itself
     # @jax.jit-wrapped, and the resulting closed_call boundary showed up in
-    # device traces as a real unfused 'copy' pass over the E-wide interior
-    # (0.91 ms on cnv72's 285 MB map at the W-512 geometry, ROOFLINE §19).
-    # maximum(x, 0.01x) is value-identical for alpha in (0, 1).
+    # a W-512 device trace (the §17 per-module budget session) as a real
+    # unfused 'copy' pass over cnv72's 285 MB interior map, ~0.91 ms.
+    # maximum(x, 0.01x) is value-identical for alpha in (0, 1). Gradient
+    # caveat: at exactly x == 0, jnp.maximum tie-splits, giving subgradient
+    # (1 + 0.01)/2 instead of leaky_relu's 1 — measure-zero, but a bitwise
+    # grad comparison at x == 0 would differ by construction, not by bug.
     return jnp.maximum(x, x * jnp.asarray(0.01, x.dtype))
 
 
@@ -433,7 +436,7 @@ class HANCBlock(nn.Module):
         deferred = isinstance(inp, DeferredSE)
         probe = inp.parts[0] if deferred else inp  # (B, Hf, Wf, cin|4cin)
         cin = probe.shape[-1] if deferred else probe.shape[-1] // 4
-        if not train and self._fused_s2d_ok(probe, cin):
+        if not train and self._fused_s2d_ok(probe, cin, chained=deferred):
             return self._call_s2d_fused(inp, train, e, cin)
         if deferred:
             inp = deferred_se_apply(inp)
@@ -481,7 +484,7 @@ class HANCBlock(nn.Module):
         _, h, w, cin = inp.shape
         return pick_tile_nhwc(h, w, e, cin) is not None
 
-    def _fused_s2d_ok(self, inp, cin) -> bool:
+    def _fused_s2d_ok(self, inp, cin, chained: bool = False) -> bool:
         import os
 
         if self.fuse == "off" or os.environ.get("ACCUNET_FUSED_HANC", "1") == "0":
@@ -500,7 +503,8 @@ class HANCBlock(nn.Module):
 
         _, hf, wf, _ = inp.shape
         e = self.n_filts * self.inv_fctr
-        if pick_tile(hf, self.k, wf, e, self.n_filts, cin) is None:
+        if pick_tile(hf, self.k, wf, e, self.n_filts, cin,
+                     chained=chained) is None:
             return False
         if self.k >= 2 and (hf % 2 or wf % 2):
             return False

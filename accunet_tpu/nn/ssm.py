@@ -183,6 +183,14 @@ class BiMamba(nn.Module):
 
     Verified against a hand-written torch loop oracle
     (tests/test_bimamba_parity.py) since the CUDA package cannot run here.
+
+    ASSUMPTION (advisor r4): the oracle encodes the same readings of the
+    fork's semantics as this implementation (if_devide_out=False — no /2 on
+    the branch sum — and the fused path's delta_bias applied exactly once),
+    so it validates internal consistency, not fork fidelity; the fork's
+    source is not in the reference tree to cross-check. ``if_devide_out``
+    is exposed as a flag so a /2 variant can be selected (and golden-checked)
+    if the fork source ever becomes available.
     """
 
     d_model: int
@@ -190,6 +198,7 @@ class BiMamba(nn.Module):
     d_conv: int = 4
     expand: int = 2
     dt_rank: int | None = None
+    if_devide_out: bool = False  # fork spelling kept for discoverability
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -252,6 +261,8 @@ class BiMamba(nn.Module):
         y_f = branch(xz, "")
         y_b = branch(xz[:, ::-1], "_b")[:, :, ::-1]
         y = (y_f + y_b).transpose(0, 2, 1)  # (B, L, d_inner)
+        if self.if_devide_out:
+            y = y / 2
         return nn.Dense(
             self.d_model, use_bias=False, dtype=self.dtype, name="out_proj"
         )(y)

@@ -48,7 +48,22 @@ class ClinicalTextEncoder:
             for p in self.encoder.parameters():
                 p.requires_grad_(False)
             self._torch = torch
-        except Exception:
+        except Exception as e:
+            # LOUD fallback (VERDICT r4 missing #4): silent substitution let
+            # the real tokenizer/padding/last_hidden_state path go unexercised
+            # without anyone noticing. The stub is fine for profiling and
+            # synthetic runs, but a training run that thinks it is using
+            # ClinicalBERT must be told it is not.
+            import warnings
+
+            warnings.warn(
+                f"ClinicalTextEncoder: could not load '{model_name}' "
+                f"({type(e).__name__}: {e}); falling back to the "
+                "DETERMINISTIC FakeTextEncoder stub — text conditioning is "
+                "NOT using real ClinicalBERT embeddings",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             self._fallback = FakeTextEncoder()
 
     def __call__(self, texts):

@@ -254,11 +254,19 @@ def _kernel_one(xq, w1_ref, wd_ref, wh0_ref, whp_ref, w3_ref,
             out_refs[4][im, 0, p] = o.astype(f32).sum(axis=(0, 1))
 
 
-def _vmem_estimate(th, wf, e, nf, cin, k, gb=1):
+def _vmem_estimate(th, wf, e, nf, cin, k, gb=1, chained=False):
     interior = 4 * (th + 2) * (wf + 2) * e * 2          # qp
     interior += 4 * th * wf * e * 2                     # d
     interior += int(2.7 * th * wf * e * 2)              # pyramid maps
     io = 4 * th * wf * 4 * cin * 2 + 4 * 2 * th * wf * nf * 2
+    if chained:
+        # _kernel_parts (advisor r4): the chained-input variant additionally
+        # stages four per-position (th+2)-row source arrays built by
+        # concatenating the 3 halo blocks, plus the SE apply (q*gs+tb) and
+        # lrelu temporaries on those rows — all four positions are live
+        # before _kernel_one starts. Counted at 3x the staged size (concat
+        # result + affine temp + max temp), per image.
+        io += 3 * 4 * (th + 2) * wf * cin * 2
     weights = (cin * e + 9 * e + (2 * k - 1) * e * nf + nf * nf) * 2
     fp32 = 3 * th * wf * nf * 4
     # io (input/output blocks hold all gb images) scales with gb; the
@@ -267,7 +275,8 @@ def _vmem_estimate(th, wf, e, nf, cin, k, gb=1):
 
 
 def pick_tile(hf: int, k: int, wf: int | None = None, e: int | None = None,
-              nf: int | None = None, cin: int | None = None) -> int | None:
+              nf: int | None = None, cin: int | None = None,
+              chained: bool = False) -> int | None:
     """Row-tile: multiple of 2^(max(k,2)-2) frame rows (pool alignment), a
     divisor of Hf, small enough to keep the wide interior in VMEM.  When the
     shape is given, tiles whose working set would blow the ~16M scoped-vmem
@@ -289,7 +298,8 @@ def pick_tile(hf: int, k: int, wf: int | None = None, e: int | None = None,
         # fused path then falls back to unfused XLA for that opt-in s2d=3
         # geometry, which measured FASTER anyway (3.98 fused vs 2.66 ms
         # unfused, ROOFLINE §6).
-        return 2 * _vmem_estimate(th, wf, e, nf_, cin_, k) < 16 * 2**20
+        return 2 * _vmem_estimate(th, wf, e, nf_, cin_, k,
+                                  chained=chained) < 16 * 2**20
 
     for th in (8, 4, 2):
         if th % s == 0 and hf % th == 0 and fits(th):
@@ -297,7 +307,8 @@ def pick_tile(hf: int, k: int, wf: int | None = None, e: int | None = None,
     return None
 
 
-def pick_gb(b: int, th: int, wf: int, e: int, nf: int, cin: int, k: int) -> int:
+def pick_gb(b: int, th: int, wf: int, e: int, nf: int, cin: int, k: int,
+            chained: bool = False) -> int:
     """Images per program: the largest divisor of b whose conservative VMEM
     estimate fits.  At small E the kernel is program-count-bound (ROOFLINE
     §6: E=96 at b8/th=8 = 112 tiny programs measured slower than unfused
@@ -315,7 +326,8 @@ def pick_gb(b: int, th: int, wf: int, e: int, nf: int, cin: int, k: int) -> int:
     margin and intentionally falls back to the unfused path, which measured
     FASTER there anyway (3.98 fused vs 2.66 ms unfused, ROOFLINE §6)."""
     for gb in (8, 4, 2):
-        if b % gb == 0 and 2 * _vmem_estimate(th, wf, e, nf, cin, k, gb) < 16 * 2**20:
+        if b % gb == 0 and 2 * _vmem_estimate(
+                th, wf, e, nf, cin, k, gb, chained=chained) < 16 * 2**20:
             return gb
     return 1
 
@@ -355,8 +367,9 @@ def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
     e = w1.shape[1]
     nf = w3.shape[0]
     cout = w3.shape[1]
+    chained = x_parts is not None
     if th is None:
-        th = pick_tile(hf, k, wf, e, nf, cin)
+        th = pick_tile(hf, k, wf, e, nf, cin, chained=chained)
     assert th is not None and hf % th == 0
     if gb is None:
         import os
@@ -367,13 +380,14 @@ def hanc_block_frame(xf, w1, b1, wd, bd, wh, bh, w3, b3, bns, k, *,
         # window, ROOFLINE §10) helps nobody
         env = os.environ.get("ACCUNET_FUSED_HANC_GB", "1")
         if env == "auto":
-            gb = pick_gb(b, th, wf, e, nf, cin, k)
+            gb = pick_gb(b, th, wf, e, nf, cin, k, chained=chained)
         else:
             req = int(env)
             gb = 1
             for cand in (8, 4, 2):
                 if cand <= req and b % cand == 0 and \
-                        2 * _vmem_estimate(th, wf, e, nf, cin, k, cand) < 16 * 2**20:
+                        2 * _vmem_estimate(th, wf, e, nf, cin, k, cand,
+                                           chained=chained) < 16 * 2**20:
                     gb = cand
                     break
             if req > 1 and gb != req:

@@ -53,6 +53,7 @@ def _scan_bldn(a, b):
         if l % mesh.shape[axis] == 0:
             h = seq_scan.shard_mapped_scan(a2, b2, mesh, axis)
             return h.reshape(bb, l, d, n)
+        seq_scan.warn_divisibility_fallback(l, mesh.shape[axis])
     h = chunked_linear_scan(a2, b2)
     return h.reshape(bb, l, d, n)
 

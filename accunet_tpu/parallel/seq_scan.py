@@ -42,12 +42,47 @@ _ACTIVE: list = []
 @contextlib.contextmanager
 def sequence_sharding(mesh, axis_name: str = "seq"):
     """Activate sequence-parallel selective scans for model calls traced
-    inside this context. `mesh` must carry `axis_name`."""
+    inside this context. `mesh` must carry `axis_name`.
+
+    TRACE-TIME capture: jit traces a function once — a function first traced
+    inside this context bakes the shard_map(seq) routing into its compiled
+    executable for ALL later calls (and a function traced outside stays
+    local forever, even if later called inside the context). Enter the
+    context around the *first* (tracing) call of every jitted function that
+    should ride the seq axis.
+
+    Divisibility: a scan whose L is not divisible by the seq-axis size
+    silently runs the LOCAL chunked kernel instead; a one-shot warning is
+    emitted (warn_divisibility_fallback) so this can't masquerade as
+    sequence parallelism.
+    """
     _ACTIVE.append((mesh, axis_name))
     try:
         yield
     finally:
         _ACTIVE.pop()
+
+
+_WARNED_FALLBACK: set = set()
+
+
+def warn_divisibility_fallback(l: int, n_shards: int) -> None:
+    """One warning per (L, shards) pair when an active sequence_sharding
+    context could not engage because L % n_shards != 0 (the scan silently
+    runs the local kernel — the user should know SP did not happen)."""
+    key = (int(l), int(n_shards))
+    if key in _WARNED_FALLBACK:
+        return
+    _WARNED_FALLBACK.add(key)
+    import warnings
+
+    warnings.warn(
+        f"sequence_sharding active but scan length L={l} is not divisible "
+        f"by the seq axis size {n_shards}; falling back to the LOCAL "
+        "chunked scan (no sequence parallelism for this op)",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def active():

@@ -34,16 +34,29 @@ def _load_device_events(trace_dir: str):
         if e.get("ph") == "M" and e.get("name") == "process_name"
     }
     dev = [p for p, n in pids.items() if "TPU" in n or "device" in n.lower()]
+    raw = [
+        e
+        for e in tr["traceEvents"]
+        if e.get("ph") == "X" and e.get("pid") in dev
+    ]
+    # trace window on the device lanes — used to tell an *envelope* span
+    # (covers nearly the whole window) from a genuine op that happens to
+    # have an all-digits name and no tf_op scope
+    window = 0.0
+    if raw:
+        t0 = min(e.get("ts", 0.0) for e in raw)
+        t1 = max(e.get("ts", 0.0) + e.get("dur", 0.0) for e in raw)
+        window = max(t1 - t0, 1.0)
     events = []
-    for e in tr["traceEvents"]:
-        if e.get("ph") != "X" or e.get("pid") not in dev:
-            continue
+    for e in raw:
         name = e["name"]
         if name.startswith(("jit_", "while")):  # enclosing regions, not ops
             continue
-        if name.isdigit() and "tf_op" not in e.get("args", {}):
-            # whole-execution envelope spans (name "0", no op scope) — they
-            # cover the entire jit region and would double-count every op
+        if (name.isdigit() and "tf_op" not in e.get("args", {})
+                and e.get("dur", 0.0) > 0.5 * window):
+            # whole-execution envelope spans (name "0", no op scope) that
+            # cover (most of) the jit region would double-count every op;
+            # a short digit-named event is a real kernel and is kept
             continue
         events.append((name, e.get("dur", 0.0), e.get("args", {})))
     return events

@@ -41,18 +41,55 @@ def _run_bench(extra_args, env_extra, timeout=120):
 
 @pytest.mark.quick
 def test_bench_survives_hung_backend():
-    """Worker hangs (simulated relay outage) -> watchdog kills it, the final
-    JSON line is still printed, value 0 + error field, in bounded time."""
+    """Worker hangs with NO output (simulated relay outage) -> the stall
+    watchdog kills it, the final JSON line is still printed, value 0 + error
+    field, in bounded time."""
     result, elapsed, _ = _run_bench(
         ["--batches", "32", "--attempt-timeout", "3", "--total-timeout", "30"],
-        {"_BENCH_TEST_HANG": "1"},
+        # BENCH_ATTEMPT_CAP bounds even the compile-heavy specs' 600-900s
+        # budgets so the test finishes fast
+        {"_BENCH_TEST_HANG": "1", "BENCH_ATTEMPT_CAP": "3"},
     )
     assert elapsed < 60
     assert result["value"] == 0
     assert result["unit"] == "images/sec/chip"
     assert "error" in result and "timeout" in result["error"]
-    # one hang marks the relay down; the extras must be skipped, not re-hung
+    # two hangs mark the relay down; the rest must be skipped, not re-hung
     assert "skipped" in result["error"]
+
+
+@pytest.mark.quick
+def test_bench_headline_survives_big_batch_compile_timeout():
+    """VERDICT r4 #1: the b1024 graph compiling past its budget must NOT
+    zero the headline (BENCH_r04 failure mode). The b8 rung lands first; a
+    compile-phase timeout is classified from the worker's heartbeat (not an
+    outage), so later rungs still run and the best nonzero number ships."""
+    fake_map = json.dumps({
+        "UNext/infer/b8": {"ok": True, "ips": 100.0, "batch": 8,
+                           "compile_s": 1.0},
+        "UNext/infer/b512": {"ok": True, "ips": 200.0, "batch": 512,
+                             "compile_s": 2.0},
+        # b1024 simulates a healthy chip stuck compiling (heartbeats flow)
+        "default": {"behavior": "compile_hang"},
+    })
+    result, elapsed, proc = _run_bench(
+        ["--batches", "8", "1024", "512", "--no-extras",
+         "--total-timeout", "120"],
+        {"_BENCH_TEST_FAKE_MAP": fake_map, "BENCH_ATTEMPT_CAP": "3",
+         "BENCH_HB_INTERVAL": "0.5"},
+        timeout=180,
+    )
+    assert elapsed < 120
+    # best rung wins; the compile timeout neither zeroes nor aborts the run
+    assert result["value"] == 200.0
+    assert "batch 512" in result["metric"]
+    assert "compile exceeded" in result["error"]
+    assert "relay appears down" not in result["error"]
+    assert result["compile_s"] == {"UNext_b8": 1.0, "UNext_b512": 2.0}
+    # a running JSON line was emitted after the first success, so even a
+    # driver-side kill after rung 1 would have captured a nonzero headline
+    lines = [json.loads(ln) for ln in proc.stdout.strip().splitlines()]
+    assert lines[0]["value"] == 100.0
 
 
 @pytest.mark.quick

@@ -47,3 +47,20 @@ def test_scan_vjp_matches_autodiff():
     want = jax.grad(loss_ref, argnums=(0, 1))(a, bb)
     for gg, ww in zip(got, want):
         np.testing.assert_allclose(np.asarray(gg), np.asarray(ww), atol=1e-4, rtol=1e-3)
+
+
+def test_dma_scan_matches_xla():
+    """Hand-pipelined DMA variant (ops/pallas/scan_dma.py): multi-batch,
+    non-divisible L (padding), carry reset at row boundaries, both buffer
+    depths."""
+    from accunet_tpu.ops.pallas.scan_dma import dma_chunked_scan
+
+    b, l, d = 2, 300, 16
+    a = _rand((b, l, d), 2, 0.2, 0.99)
+    bb = _rand((b, l, d), 3)
+    want = _xla_scan(a, bb)
+    for nbuf in (2, 4):
+        got = dma_chunked_scan(a, bb, chunk=128, nbuf=nbuf, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-4
+        )

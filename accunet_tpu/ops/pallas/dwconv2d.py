@@ -84,7 +84,10 @@ def _dwconv2d_wgrad_pallas(x, g, kh: int, kw: int, interpret=False):
     tc = _pick_tc(c)
 
     def kern(xp_ref, g_ref, dw_ref):
-        bi = pl.program_id(0)
+        # batch is the INNERMOST grid dim: the dw block is revisited across
+        # b, and Pallas TPU only guarantees read-modify-write accumulation
+        # when revisits are consecutive grid steps (canonical K-loop rule)
+        bi = pl.program_id(1)
 
         @pl.when(bi == 0)
         def _():
@@ -107,19 +110,19 @@ def _dwconv2d_wgrad_pallas(x, g, kh: int, kw: int, interpret=False):
 
     return pl.pallas_call(
         kern,
-        grid=(b, c // tc),
+        grid=(c // tc, b),
         in_specs=[
             pl.BlockSpec(
                 (1, h + kh - 1, w + kw - 1, tc),
-                lambda bi, ci: (bi, 0, 0, ci),
+                lambda ci, bi: (bi, 0, 0, ci),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, h, w, tc), lambda bi, ci: (bi, 0, 0, ci), memory_space=pltpu.VMEM
+                (1, h, w, tc), lambda ci, bi: (bi, 0, 0, ci), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (kh, kw, tc), lambda bi, ci: (0, 0, ci), memory_space=pltpu.VMEM
+            (kh, kw, tc), lambda ci, bi: (0, 0, ci), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((kh, kw, c), jnp.float32),
         interpret=interpret,
@@ -151,17 +154,49 @@ def _fwd(x, kernel, bias):
     return _dwconv2d_impl(x, kernel, bias), (x, kernel)
 
 
+def _wgrad_pallas_ok(x) -> bool:
+    """Dispatch the Pallas one-pass wgrad instead of the per-tap XLA form.
+
+    Per-tap reads x+g once PER TAP (9 passes at k=3); the Pallas kernel
+    stages a (1, H+2, W+2, tc)+(1, H, W, tc) block and accumulates all taps
+    in VMEM — one pass. At the small shapes of the original sweep (64²x384)
+    the forms tie (module docstring), but at the wide-decoder cnv72 train
+    geometry (56², C=4352, bf16 — 109 MB per map) per-tap is ~9x the
+    compulsory traffic; measured A/B in ROOFLINE §22. Engages when the
+    channel width is large enough that the saved passes dominate the
+    program-count overhead, and the block fits VMEM."""
+    import os
+
+    mode = os.environ.get("ACCUNET_DWCONV_WGRAD", "auto")
+    if mode == "taps":
+        return False
+    b, h, w, c = x.shape
+    tc = _pick_tc(c)
+    vmem = ((h + 2) * (w + 2) + h * w) * tc * x.dtype.itemsize + 9 * tc * 4
+    if 2 * vmem >= 14 * 2**20:  # the measured 2x Mosaic-stack margin
+        return False
+    if mode == "pallas":
+        return True
+    return c >= 1024
+
+
 def _bwd(res, g):
     x, kernel = res
     kh, kw = kernel.shape[0], kernel.shape[1]
     # dgrad: conv of g with flipped kernel (dwconv_layer.py:19-31 identity)
     wflip = kernel[::-1, ::-1, :]
     dx = _dwconv2d_impl(g, wflip, None)
-    # wgrad: per-tap shifted reductions. This IS the production path — it is
-    # what replaces XLA's pathological native depthwise weight-gradient
-    # (~20x the dgrad cost), and it ties the Pallas kernel at the k=3 the
-    # models actually use (module docstring for the measured sweep). The
-    # Pallas wgrad stays opt-in for large-k experimentation.
+    db = jnp.sum(g, axis=(0, 1, 2)).astype(g.dtype)
+    from accunet_tpu.ops.platform import on_tpu
+
+    if on_tpu() and _wgrad_pallas_ok(x):
+        dw = _dwconv2d_wgrad_pallas(x, g, kh, kw).astype(kernel.dtype)
+        return dx, dw, db
+    # wgrad: per-tap shifted reductions. This replaces XLA's pathological
+    # native depthwise weight-gradient (~20x the dgrad cost), and it ties
+    # the Pallas kernel at small shapes (module docstring for the measured
+    # sweep); the Pallas one-pass form takes over at wide-channel train
+    # geometries (_wgrad_pallas_ok).
     b, h, w, c = x.shape
     ph, pw = (kh - 1) // 2, (kw - 1) // 2
     xp = jnp.pad(x, ((0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw), (0, 0)))
@@ -173,7 +208,6 @@ def _bwd(res, g):
             row.append(jnp.einsum("bhwc,bhwc->c", win, g))
         taps.append(jnp.stack(row))
     dw = jnp.stack(taps).astype(kernel.dtype)
-    db = jnp.sum(g, axis=(0, 1, 2)).astype(g.dtype)
     return dx, dw, db
 
 

@@ -192,16 +192,7 @@ def conv1x1_blocked(xf: jax.Array, w: jax.Array, bias: jax.Array | None = None) 
     return jnp.concatenate(outs, axis=-1)
 
 
-def dwconv3x3(xf: jax.Array, w: jax.Array, bias: jax.Array | None = None) -> jax.Array:
-    """Depthwise 3x3 'SAME' conv of the logical map, in-frame.
-
-    Plane formulation: each output position block is a 9-tap sum of
-    spatially shifted position blocks scaled by the per-channel tap weight —
-    all lane-aligned VPU math at half resolution. The frame is padded ONCE
-    and every term is a static slice of that single buffer, so XLA fuses
-    the taps into one read per output block (4 separately padded plane
-    copies measured 0.91 ms vs 0.20 for the standard layout; this form
-    removes the extra materializations). w: (3, 3, C)."""
+def _dwconv3x3_impl(xf: jax.Array, w: jax.Array) -> jax.Array:
     b, h, wd, c4 = xf.shape
     c = c4 // 4
     xp = jnp.pad(xf, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -216,10 +207,102 @@ def dwconv3x3(xf: jax.Array, w: jax.Array, bias: jax.Array | None = None) -> jax
                      pi * c : (pi + 1) * c]
             term = src * w[u + 1, v + 1].astype(xf.dtype)
             acc = term if acc is None else acc + term
-        if bias is not None:
-            acc = acc + bias.astype(acc.dtype)
         outs.append(acc)
     return jnp.concatenate(outs, axis=-1)
+
+
+@jax.custom_vjp
+def _dwconv3x3_cvjp(xf: jax.Array, w: jax.Array) -> jax.Array:
+    return _dwconv3x3_impl(xf, w)
+
+
+def _dwconv3x3_fwd(xf, w):
+    return _dwconv3x3_impl(xf, w), (xf, w)
+
+
+def _dwconv3x3_bwd(res, gf):
+    """Hand-written transpose (ROOFLINE §22): XLA's autodiff of the slice-
+    form forward transposes every tap into a zero-PAD + accumulate, so the
+    dgrad materializes ~9 padded copies of the E-wide frame per position
+    (the `pad_add_fusion` rows that dominated the §15 train-step bwd:
+    2.7 ms on cnv91 alone). The transpose of a shifted SLICE is a shifted
+    slice of the padded cotangent — structurally identical to the forward:
+    pad gf ONCE, 9 static slices per position block, one fused read each.
+
+    dgrad geometry: fwd entry (po, u, v, pi, gi, gj) sends x[pi][i, j] to
+    out[po][i - gi, j - gj], so dx[pi][i, j] += w[u, v] * gf[po][i - gi,
+    j - gj] — the same tap table with (po <-> pi) roles swapped and the
+    frame shift negated.  wgrad: dw[u, v, :] = sum over the tap's four
+    (po, pi) pairs of <shifted x, gf[po]> reduced over (B, Hf, Wf),
+    accumulated in f32 (autodiff reduces in the primal dtype; f32 is
+    strictly tighter — grad-parity is asserted in f64 where both agree,
+    tests/test_s2d.py::test_dwconv3x3_custom_vjp_grads)."""
+    xf, w = res
+    b, h, wd, c4 = xf.shape
+    c = c4 // 4
+    dt = xf.dtype
+    gp = jnp.pad(gf, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    dx = []
+    for pi_want in range(4):
+        acc = None
+        for po, u, v, pi, gi, gj in _S2D_GEOM:
+            if pi != pi_want:
+                continue
+            src = gp[:, 1 - gi : 1 - gi + h, 1 - gj : 1 - gj + wd,
+                     po * c : (po + 1) * c]
+            term = src * w[u + 1, v + 1].astype(dt)
+            acc = term if acc is None else acc + term
+        dx.append(acc)
+    dxf = jnp.concatenate(dx, axis=-1)
+
+    at = _acc_type(dt)
+    xp = jnp.pad(xf, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    taps = []
+    for u in (-1, 0, 1):
+        for v in (-1, 0, 1):
+            acc = None
+            for po, u2, v2, pi, gi, gj in _S2D_GEOM:
+                if (u2, v2) != (u, v):
+                    continue
+                src = xp[:, 1 + gi : 1 + gi + h, 1 + gj : 1 + gj + wd,
+                         pi * c : (pi + 1) * c]
+                t = jnp.sum(
+                    src.astype(at) * gf[..., po * c : (po + 1) * c].astype(at),
+                    axis=(0, 1, 2),
+                )
+                acc = t if acc is None else acc + t
+            taps.append(acc)
+    dw = jnp.stack(taps).reshape(3, 3, c).astype(w.dtype)
+    return dxf, dw
+
+
+_dwconv3x3_cvjp.defvjp(_dwconv3x3_fwd, _dwconv3x3_bwd)
+
+
+def dwconv3x3(xf: jax.Array, w: jax.Array, bias: jax.Array | None = None) -> jax.Array:
+    """Depthwise 3x3 'SAME' conv of the logical map, in-frame.
+
+    Plane formulation: each output position block is a 9-tap sum of
+    spatially shifted position blocks scaled by the per-channel tap weight —
+    all lane-aligned VPU math at half resolution. The frame is padded ONCE
+    and every term is a static slice of that single buffer, so XLA fuses
+    the taps into one read per output block (4 separately padded plane
+    copies measured 0.91 ms vs 0.20 for the standard layout; this form
+    removes the extra materializations). w: (3, 3, C).
+
+    The backward runs a hand-written slice-form transpose (custom VJP, see
+    _dwconv3x3_bwd; ACCUNET_DWCONV_VJP=0 reverts to XLA autodiff for A/B).
+    """
+    import os
+
+    if os.environ.get("ACCUNET_DWCONV_VJP", "1") == "0":
+        y = _dwconv3x3_impl(xf, w)
+    else:
+        y = _dwconv3x3_cvjp(xf, w)
+    if bias is not None:
+        y = y + tile4(bias).astype(y.dtype)
+    return y
 
 
 def dwconv3x3_unpack(xf: jax.Array, w: jax.Array, bias: jax.Array | None = None) -> jax.Array:

@@ -105,7 +105,7 @@ def _worker_main(spec: dict) -> dict:
     # persistent compile cache: the ACC-UNet fwd+bwd train step alone can
     # take minutes to compile cold over the serving relay — without the
     # cache a cold round can blow the per-attempt watchdog budget
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.environ.get("ACCUNET_JAX_CACHE", "/root/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     sys.path.insert(0, REPO)
@@ -567,17 +567,20 @@ def main():
         run_extra("spatialmamba_block_img_s",
                   spec("ssmblock", "SpatialMambaBlock", 8, 32,
                        cap_steps=False, attempt_s=600))
+        # BASELINE config 4: ACC_UNet_W multi-class at 512x512 (3+1-way
+        # softmax head, the GlaS/Synapse-style config). Runs BEFORE the
+        # train spec: the train graph's relay compile is memory-killed
+        # server-side in degraded windows (ROOFLINE §22.1) and its retries
+        # must not starve this compilable spec (the r4 lesson, same shape).
+        run_extra("ACC_UNet_W_mc512_infer_b2",
+                  spec("infer", "ACC_UNet_W", 2, 8, 2, img=512, n_classes=3,
+                       cap_steps=False, attempt_s=big))
         # BASELINE config 2: full ACC-UNet (16.77M) train step, BCE+Dice, b8.
         # s2d=2: the frame is exact in training too (grad-parity test in
         # tests/test_s2d.py) and measured +20% (ROOFLINE §15.2). COLD fwd+bwd
         # compile of the frame-MLFC graph is 5-13 min (ROOFLINE §19).
         run_extra("ACC_UNet_train_b8",
                   spec("train", "ACC_UNet", 8, 16, 2, attempt_s=big))
-        # BASELINE config 4: ACC_UNet_W multi-class at 512x512 (3+1-way
-        # softmax head, the GlaS/Synapse-style config)
-        run_extra("ACC_UNet_W_mc512_infer_b2",
-                  spec("infer", "ACC_UNet_W", 2, 8, 2, img=512, n_classes=3,
-                       cap_steps=False, attempt_s=big))
     # 3) remaining headline ladder entries, best kept
     for bs in ladder[2:]:
         run_headline(bs, big)

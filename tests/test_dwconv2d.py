@@ -100,3 +100,43 @@ def test_dilated_composition_identity():
         atol=1e-4,
         rtol=1e-3,
     )
+
+
+def test_wgrad_pallas_dispatch_policy():
+    """The one-pass Pallas wgrad engages at the wide-decoder train geometry
+    (cnv72: 56^2, C=4352 — per-tap XLA is ~9x compulsory traffic there,
+    ROOFLINE §22) and stays off at the small shapes where the forms tie."""
+    from accunet_tpu.ops.pallas.dwconv2d import _wgrad_pallas_ok
+
+    cnv72 = jnp.zeros((8, 56, 56, 4352), jnp.bfloat16)
+    small = jnp.zeros((8, 64, 64, 384), jnp.float32)
+    assert _wgrad_pallas_ok(cnv72)
+    assert not _wgrad_pallas_ok(small)
+    # env overrides win in both directions
+    import os
+
+    os.environ["ACCUNET_DWCONV_WGRAD"] = "taps"
+    try:
+        assert not _wgrad_pallas_ok(cnv72)
+    finally:
+        os.environ["ACCUNET_DWCONV_WGRAD"] = "pallas"
+    try:
+        assert _wgrad_pallas_ok(small)
+    finally:
+        del os.environ["ACCUNET_DWCONV_WGRAD"]
+
+
+def test_pallas_wgrad_matches_autodiff_k3():
+    """k=3 (the production kernel size) one-pass wgrad vs autodiff."""
+    rs = np.random.RandomState(4)
+    x = jnp.asarray(rs.rand(2, 10, 12, 128).astype(np.float32))
+    w = jnp.asarray(rs.rand(3, 3, 128).astype(np.float32) - 0.5)
+    g = jnp.asarray(rs.rand(2, 10, 12, 128).astype(np.float32))
+
+    def ref_loss(w):
+        return jnp.vdot(dwconv2d_reference(x, w, None), g)
+
+    want = jax.grad(ref_loss)(w)
+    got = _dwconv2d_wgrad_pallas(x, g, 3, 3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4,
+                               rtol=1e-4)

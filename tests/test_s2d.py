@@ -69,6 +69,47 @@ def test_dwconv3x3_matches():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+def test_dwconv3x3_custom_vjp_grads():
+    """Hand-written dwconv3x3 transpose (ROOFLINE §22) == XLA autodiff, f64.
+
+    Compares value+grads of a scalar loss through the custom-VJP path vs the
+    raw slice-form impl differentiated by XLA (ACCUNET_DWCONV_VJP=0 path),
+    odd sizes + nonuniform cotangent so every tap/halo case is exercised."""
+    import os
+
+    from jax import config as _c
+
+    assert os.environ.get("ACCUNET_DWCONV_VJP", "1") != "0"
+    _c.update("jax_enable_x64", True)
+    try:
+        x = jax.random.normal(jax.random.PRNGKey(20), (2, 5, 7, 4 * 6),
+                              jnp.float64)
+        w = jax.random.normal(jax.random.PRNGKey(21), (3, 3, 6),
+                              jnp.float64) * 0.3
+        b = jax.random.normal(jax.random.PRNGKey(22), (6,), jnp.float64)
+        cot = jax.random.normal(jax.random.PRNGKey(23), (2, 5, 7, 3),
+                                jnp.float64)
+
+        def loss(fn, x, w, b):
+            y = fn(x, w, b)
+            # nonuniform weighting broadcast over the 4C frame channels
+            return jnp.sum(y * jnp.tile(cot, (1, 1, 1, 8)))
+
+        def raw(x, w, b):
+            return s2d._dwconv3x3_impl(x, w) + s2d.tile4(b)
+
+        v0, g0 = jax.value_and_grad(
+            lambda *a: loss(raw, *a), argnums=(0, 1, 2))(x, w, b)
+        v1, g1 = jax.value_and_grad(
+            lambda *a: loss(s2d.dwconv3x3, *a), argnums=(0, 1, 2))(x, w, b)
+        np.testing.assert_allclose(float(v0), float(v1), rtol=1e-12)
+        for a, c in zip(g0, g1):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), atol=1e-11, rtol=1e-11)
+    finally:
+        _c.update("jax_enable_x64", False)
+
+
 def test_pool_and_broadcast():
     from accunet_tpu.ops.pooling import avg_pool2d, max_pool2d, upsample_nearest
 
